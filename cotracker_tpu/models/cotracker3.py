@@ -1,0 +1,501 @@
+"""CoTracker3-class point tracker: TPU-native core model.
+
+Behavioral contract follows the reference CoTrackerThree{Offline,Online}
+(cotracker/models/core/cotracker/cotracker3_offline.py:15-233,
+cotracker3_online.py:42-541), re-designed for XLA:
+
+  * pure functional forward over a flax param tree; no module-held state;
+  * online streaming state is an explicit `OnlineState` pytree carried by the
+    caller (reference keeps it as mutable module attributes,
+    cotracker3_online.py:163-169) with fixed-capacity prediction buffers, so
+    the streaming step jits once and runs at constant memory;
+  * channel-last fmaps (B, T, H, W, C); latent C=128 = one TPU lane tile;
+  * coords/vis/conf carried in f32 across the iterative updates regardless of
+    compute dtype;
+  * correlation features via a batched gather formulation with an optional
+    Pallas fused kernel (ops/kernels/) behind `corr_impl`.
+
+Terminology matches the reference: "stride" is the fmap downsampling (4),
+"corr_radius" the local patch radius (3 -> 7x7 patches), "corr_levels" the
+pyramid depth (4).
+"""
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cotracker_tpu.models.blocks import BasicEncoder, Mlp
+from cotracker_tpu.models.updateformer import EfficientUpdateFormer
+from cotracker_tpu.ops.bilinear import (
+    bilinear_sample,
+    sample_features_3d,
+    resize_linear_1d,
+)
+from cotracker_tpu.ops.embeddings import get_1d_sincos_pos_embed, posenc
+
+
+def sample_patch_features(fmaps, coords, radius: int):
+    """Bilinearly sample (2r+1)x(2r+1) feature patches around points.
+
+    fmaps:  (B, T, H, W, C)
+    coords: (B, T, N, 2) as (x, y), in this level's pixel units
+    returns (B, T, N, P, P, C) with patch[i, j] sampled at
+            (x + (i - r), y + (j - r))  — first patch axis offsets x,
+            matching the reference's `get_support_points` delta layout
+            (cotracker3_online.py:94-111: delta = (0, dy_i, dx_j) applied to
+            (t, x, y) coords).
+    """
+    B, T, H, W, C = fmaps.shape
+    N = coords.shape[2]
+    P = 2 * radius + 1
+    d = jnp.arange(-radius, radius + 1, dtype=coords.dtype)
+    # offs[i, j] = (d[i], d[j]) -> x offset from first axis, y from second
+    offs = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)  # (P, P, 2)
+    pts = coords[:, :, :, None, None, :] + offs[None, None, None]  # (B,T,N,P,P,2)
+
+    flat_maps = fmaps.reshape(B * T, H, W, C)
+    flat_pts = pts.reshape(B * T, N, P, P, 2)
+    out = jax.vmap(bilinear_sample)(flat_maps, flat_pts)  # (B*T, N, P, P, C)
+    return out.reshape(B, T, N, P, P, C)
+
+
+def get_track_feat(fmaps, queried_frames, queried_coords, radius: int):
+    """Sample per-track support patches at the query frame.
+
+    fmaps (B, T, H, W, C); queried_frames (B, N) float; queried_coords
+    (B, N, 2) in this level's units. Returns:
+      track_feat    (B, 1, N, C)  — center tap
+      track_support (B, P*P, N, C) — full patch, flattened i*P+j
+    Mirrors reference `get_track_feat` (cotracker3_online.py:113-128).
+    """
+    B, T, H, W, C = fmaps.shape
+    N = queried_frames.shape[1]
+    P = 2 * radius + 1
+    d = jnp.arange(-radius, radius + 1, dtype=queried_coords.dtype)
+    offs = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)  # (P,P,2) x-first
+    # (t, x, y) support points: (B, N, P, P, 3)
+    txy = jnp.concatenate([queried_frames[..., None], queried_coords], axis=-1)
+    pts = txy[:, :, None, None, :] + jnp.pad(offs, ((0, 0), (0, 0), (1, 0)))[None, None]
+    pts = pts.reshape(B, N, P * P, 3).transpose(0, 2, 1, 3)  # (B, P*P, N, 3)
+    support = sample_features_3d(fmaps, pts)  # (B, P*P, N, C)
+    center = support[:, None, (P * P) // 2]  # (B, 1, N, C)
+    return center, support
+
+
+class OnlineState(NamedTuple):
+    """Explicit streaming-tracker carry (replaces reference module attributes,
+    cotracker3_online.py:163-169). All buffers are fixed-capacity."""
+
+    ind: jnp.ndarray  # () int32 — start frame of the next window
+    track_feat: Any  # tuple over levels: (B, 1, N, C)
+    track_support: Any  # tuple over levels: (B, P*P, N, C)
+    coords: jnp.ndarray  # (B, CAP, N, 2) — predicted tracks, model pixels
+    vis: jnp.ndarray  # (B, CAP, N) — visibility logits
+    conf: jnp.ndarray  # (B, CAP, N) — confidence logits
+
+
+class CoTrackerThree(nn.Module):
+    """The tracker core. One parameterization serves offline (window_len=60)
+    and online (window_len=16) checkpoints, like the reference family."""
+
+    window_len: int = 60
+    stride: int = 4
+    corr_radius: int = 3
+    corr_levels: int = 4
+    num_virtual_tracks: int = 64
+    model_resolution: Tuple[int, int] = (384, 512)
+    add_space_attn: bool = True
+    linear_layer_for_vis_conf: bool = True
+    latent_dim: int = 128
+    input_dim: int = 1110
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride)
+        self.updateformer = EfficientUpdateFormer(
+            space_depth=3,
+            time_depth=3,
+            input_dim=self.input_dim,
+            hidden_size=384,
+            num_heads=8,
+            output_dim=4,
+            mlp_ratio=4.0,
+            num_virtual_tracks=self.num_virtual_tracks,
+            add_space_attn=self.add_space_attn,
+            linear_layer_for_vis_conf=self.linear_layer_for_vis_conf,
+        )
+        P = 2 * self.corr_radius + 1
+        self.corr_mlp = Mlp(hidden_features=384, out_features=256, name="corr_mlp")
+        # Deterministic sincos time embedding over the trained window length
+        # (reference registers it as a buffer, cotracker3_online.py:86-92).
+        grid = np.linspace(0, self.window_len - 1, self.window_len)
+        self.time_emb = np.asarray(get_1d_sincos_pos_embed(self.input_dim, grid))
+
+    # ---------------------------------------------------------------- features
+
+    def compute_fmaps(self, video):
+        """video (B, T, H, W, 3) in [0, 255] -> L2-normalized fmaps
+        (B, T, H/stride, W/stride, latent_dim) in compute dtype."""
+        B, T, H, W, _ = video.shape
+        video = (2 * (video / 255.0) - 1.0).astype(self.dtype)
+        fmaps = self.fnet(video.reshape(B * T, H, W, 3))
+        fmaps32 = fmaps.astype(jnp.float32)
+        denom = jnp.sqrt(jnp.maximum(jnp.sum(fmaps32**2, axis=-1, keepdims=True), 1e-12))
+        fmaps = (fmaps32 / denom).astype(self.dtype)
+        return fmaps.reshape(B, T, H // self.stride, W // self.stride, self.latent_dim)
+
+    def build_pyramid(self, fmaps):
+        """Average-pool pyramid, `corr_levels` deep (reference
+        cotracker3_offline.py:105-117)."""
+        pyramid = [fmaps]
+        for _ in range(self.corr_levels - 1):
+            B, T, H, W, C = fmaps.shape
+            x = fmaps.reshape(B * T, H, W, C)
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            fmaps = x.reshape(B, T, H // 2, W // 2, C)
+            pyramid.append(fmaps)
+        return pyramid
+
+    def track_feat_pyramid(self, fmaps_pyramid, queried_frames, queried_coords):
+        feats, supports = [], []
+        for i, fmaps in enumerate(fmaps_pyramid):
+            f, s = get_track_feat(
+                fmaps, queried_frames, queried_coords / 2**i, self.corr_radius
+            )
+            feats.append(f)
+            supports.append(s)
+        return feats, supports
+
+    def corr_embs_level(self, fmaps, support, coords):
+        """One level of local 4D correlation + MLP embedding.
+
+        fmaps (B, T, H, W, C); support (B, P*P, N, C); coords (B, T, N, 2) in
+        this level's units. Returns (B, T, N, 256).
+        Mirrors the reference hot loop (cotracker3_online.py:192-207).
+        """
+        B, T = fmaps.shape[:2]
+        N = coords.shape[2]
+        P = 2 * self.corr_radius + 1
+        patches = sample_patch_features(fmaps, coords, self.corr_radius)  # (B,T,N,P,P,C)
+        sup = support.reshape(B, P, P, N, self.latent_dim).transpose(0, 3, 1, 2, 4)
+        corr = jnp.einsum(
+            "btnhwc,bnijc->btnhwij", patches, sup, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        corr = corr.reshape(B, T, N, P * P * P * P)
+        return self.corr_mlp(corr)
+
+    # ---------------------------------------------------------------- updates
+
+    def iterate(
+        self,
+        fmaps_pyramid,
+        track_support_pyramid,
+        coords,
+        vis,
+        conf,
+        iters: int,
+        track_mask: Optional[jnp.ndarray] = None,
+        add_space_attn: bool = True,
+        stop_grad_between_iters: bool = True,
+    ):
+        """Run `iters` transformer updates over one window.
+
+        coords (B, T, N, 2) f32 in fmap (stride) units; vis/conf (B, T, N) f32
+        logits. Returns per-iteration stacked predictions:
+          coords_preds (iters, B, T, N, 2) in model pixels,
+          vis_preds / conf_preds (iters, B, T, N) logits.
+        Mirrors reference `forward_window` (cotracker3_online.py:171-264).
+        """
+        B, T = fmaps_pyramid[0].shape[:2]
+        N = coords.shape[2]
+        scale = (
+            jnp.asarray(
+                [self.model_resolution[1], self.model_resolution[0]], jnp.float32
+            )
+            / self.stride
+        )
+
+        coord_preds, vis_preds, conf_preds = [], [], []
+        for _ in range(iters):
+            if stop_grad_between_iters:
+                coords = jax.lax.stop_gradient(coords)
+
+            corr_embs = []
+            for i in range(self.corr_levels):
+                corr_embs.append(
+                    self.corr_embs_level(
+                        fmaps_pyramid[i],
+                        track_support_pyramid[i],
+                        coords.astype(self.dtype) / 2**i,
+                    )
+                )
+            corr_embs = jnp.concatenate(corr_embs, axis=-1)  # (B, T, N, 1024)
+
+            rel_fwd = coords[:, :-1] - coords[:, 1:]
+            rel_bwd = coords[:, 1:] - coords[:, :-1]
+            rel_fwd = jnp.pad(rel_fwd, ((0, 0), (0, 1), (0, 0), (0, 0)))
+            rel_bwd = jnp.pad(rel_bwd, ((0, 0), (1, 0), (0, 0), (0, 0)))
+            rel = jnp.concatenate([rel_fwd / scale, rel_bwd / scale], axis=-1)
+            rel_emb = posenc(rel, min_deg=0, max_deg=10)  # (B, T, N, 84)
+
+            x = jnp.concatenate(
+                [
+                    vis[..., None].astype(self.dtype),
+                    conf[..., None].astype(self.dtype),
+                    corr_embs,
+                    rel_emb.astype(self.dtype),
+                ],
+                axis=-1,
+            )  # (B, T, N, 1110)
+
+            time_emb = self.interpolate_time_embed(T).astype(self.dtype)  # (1, T, D)
+            x = x + time_emb[:, :, None, :]
+            x = x.transpose(0, 2, 1, 3)  # (B, N, T, D)
+
+            delta = self.updateformer(
+                x, track_mask=track_mask, add_space_attn=add_space_attn
+            ).astype(jnp.float32)  # (B, N, T, 4)
+            delta = delta.transpose(0, 2, 1, 3)  # (B, T, N, 4)
+
+            coords = coords + delta[..., :2]
+            vis = vis + delta[..., 2]
+            conf = conf + delta[..., 3]
+
+            coord_preds.append(coords * float(self.stride))
+            vis_preds.append(vis)
+            conf_preds.append(conf)
+
+        return (
+            jnp.stack(coord_preds),
+            jnp.stack(vis_preds),
+            jnp.stack(conf_preds),
+        )
+
+    def interpolate_time_embed(self, t: int):
+        """(1, t, input_dim) time embedding; linearly interpolated when t
+        differs from the trained window length (reference
+        cotracker3_online.py:145-156)."""
+        emb = jnp.asarray(self.time_emb)
+        if t == emb.shape[1]:
+            return emb
+        return resize_linear_1d(emb, t, align_corners=False, axis=1)
+
+    # ---------------------------------------------------------------- offline
+
+    def __call__(
+        self,
+        video,
+        queries,
+        iters: int = 4,
+        track_mask: Optional[jnp.ndarray] = None,
+        add_space_attn: bool = True,
+        is_train: bool = False,
+    ):
+        """Offline forward: whole video as one window.
+
+        video (B, T, H, W, 3) in [0, 255]; queries (B, N, 3) as (t, x, y) in
+        model pixels. track_mask (B, N) marks real (non-padding) tracks.
+
+        Returns (coords, vis, conf, train_data):
+          coords (B, T, N, 2) pixels, vis/conf (B, T, N) probabilities;
+          train_data = per-iter (coords, vis, conf probabilities, valid_mask)
+          when is_train else None.
+        Mirrors reference CoTrackerThreeOffline.forward
+        (cotracker3_offline.py:19-233).
+        """
+        B, T, H, W, _ = video.shape
+        N = queries.shape[1]
+
+        queried_frames = queries[..., 0].astype(jnp.float32)
+        queried_coords = queries[..., 1:3].astype(jnp.float32) / self.stride
+
+        fmaps = self.compute_fmaps(video)
+        fmaps_pyramid = self.build_pyramid(fmaps)
+        _, track_support_pyramid = self.track_feat_pyramid(
+            fmaps_pyramid, queried_frames, queried_coords
+        )
+        if track_mask is not None:
+            track_support_pyramid = [
+                s * track_mask[:, None, :, None].astype(s.dtype)
+                for s in track_support_pyramid
+            ]
+
+        coords = jnp.broadcast_to(queried_coords[:, None], (B, T, N, 2)).astype(jnp.float32)
+        vis = jnp.zeros((B, T, N), jnp.float32)
+        conf = jnp.zeros((B, T, N), jnp.float32)
+
+        coord_preds, vis_preds, conf_preds = self.iterate(
+            fmaps_pyramid,
+            track_support_pyramid,
+            coords,
+            vis,
+            conf,
+            iters=iters,
+            track_mask=track_mask,
+            add_space_attn=add_space_attn,
+            stop_grad_between_iters=is_train,
+        )
+
+        out_coords = coord_preds[-1]
+        out_vis = jax.nn.sigmoid(vis_preds[-1])
+        out_conf = jax.nn.sigmoid(conf_preds[-1])
+
+        train_data = None
+        if is_train:
+            valid_mask = jnp.ones((B, T, N), jnp.float32)
+            train_data = (
+                coord_preds,
+                jax.nn.sigmoid(vis_preds),
+                jax.nn.sigmoid(conf_preds),
+                valid_mask,
+            )
+        return out_coords, out_vis, out_conf, train_data
+
+    # ----------------------------------------------------------------- online
+
+    def online_init(self, batch: int, num_tracks: int, capacity: int):
+        """Fresh streaming state with `capacity` frames of prediction buffer.
+
+        Functional replacement for reference `init_video_online_processing`
+        (cotracker3_online.py:163-169)."""
+        P = 2 * self.corr_radius + 1
+        mk = lambda shape: jnp.zeros(shape, self.dtype)
+        return OnlineState(
+            ind=jnp.asarray(0, jnp.int32),
+            track_feat=tuple(
+                mk((batch, 1, num_tracks, self.latent_dim)) for _ in range(self.corr_levels)
+            ),
+            track_support=tuple(
+                mk((batch, P * P, num_tracks, self.latent_dim))
+                for _ in range(self.corr_levels)
+            ),
+            coords=jnp.zeros((batch, capacity, num_tracks, 2), jnp.float32),
+            vis=jnp.zeros((batch, capacity, num_tracks), jnp.float32),
+            conf=jnp.zeros((batch, capacity, num_tracks), jnp.float32),
+        )
+
+    def online_step(
+        self,
+        state: OnlineState,
+        video_chunk,
+        queries,
+        iters: int = 4,
+        track_mask: Optional[jnp.ndarray] = None,
+        add_space_attn: bool = True,
+    ):
+        """Process one sliding window [ind, ind+S) of the stream.
+
+        video_chunk (B, S, H, W, 3): the current window, already padded to
+        exactly S = window_len frames (callers pad short tails by repeating
+        the last frame, as the reference does at cotracker3_online.py:320-328).
+        queries (B, N, 3) global (t, x, y) in model pixels.
+
+        Returns (new_state, coords (B, CAP, N, 2) pixels, vis/conf (B, CAP, N)
+        probabilities) where the prediction buffers are valid on
+        [0, ind + S). Mirrors reference CoTrackerThreeOnline.forward with
+        is_online=True (cotracker3_online.py:266-541).
+        """
+        B, S, H, W, _ = video_chunk.shape
+        assert S == self.window_len
+        N = queries.shape[1]
+        step = S // 2
+        ind = state.ind
+
+        queried_frames = queries[..., 0].astype(jnp.float32)
+        queried_coords = queries[..., 1:3].astype(jnp.float32) / self.stride
+
+        fmaps = self.compute_fmaps(video_chunk)
+        fmaps_pyramid = self.build_pyramid(fmaps)
+
+        # masked accumulation of track features for queries that fall in the
+        # fresh part of this window (reference cotracker3_online.py:410-443)
+        left = jnp.where(ind == 0, 0, ind + step)
+        right = ind + S
+        qf = queried_frames
+        sample_mask = ((qf >= left) & (qf < right))[:, None, :, None].astype(self.dtype)
+
+        new_feat, new_support = [], []
+        for i, fmaps_lvl in enumerate(fmaps_pyramid):
+            f, s = get_track_feat(
+                fmaps_lvl,
+                queried_frames - ind.astype(jnp.float32),
+                queried_coords / 2**i,
+                self.corr_radius,
+            )
+            new_feat.append(state.track_feat[i] + f * sample_mask)
+            new_support.append(state.track_support[i] + s * sample_mask)
+
+        # warm start from the overlap with the previous window
+        # (reference cotracker3_online.py:456-482)
+        overlap = S - step
+        coords_init = jnp.broadcast_to(queried_coords[:, None], (B, S, N, 2))
+        vis_init = jnp.zeros((B, S, N), jnp.float32)
+        conf_init = jnp.zeros((B, S, N), jnp.float32)
+
+        def warm(prev_buf, init, extra_dims):
+            # prev_buf: (B, CAP, N, ...); take [ind : ind+overlap), pad by last
+            sl = jax.lax.dynamic_slice_in_dim(prev_buf, ind, overlap, axis=1)
+            pad = jnp.repeat(sl[:, -1:], step, axis=1)
+            prev = jnp.concatenate([sl, pad], axis=1)  # (B, S, N, ...)
+            copy_over = (queried_frames < (ind + overlap).astype(jnp.float32))[:, None, :]
+            for _ in range(extra_dims):
+                copy_over = copy_over[..., None]
+            return jnp.where(copy_over, prev, init)
+
+        first = ind == 0
+
+        def warm_all():
+            c = warm(state.coords / self.stride, coords_init, 1)
+            v = warm(state.vis, vis_init, 0)
+            f = warm(state.conf, conf_init, 0)
+            return c, v, f
+
+        coords_init, vis_init, conf_init = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(first, a, b),
+            (jnp.broadcast_to(queried_coords[:, None], (B, S, N, 2)), vis_init, conf_init),
+            warm_all(),
+        )
+
+        # mask support feats of tracks that haven't been queried yet
+        # (reference cotracker3_online.py:484-496)
+        active = (queried_frames < (ind + S).astype(jnp.float32))  # (B, N)
+        support_pyramid = [
+            s * active[:, None, :, None].astype(s.dtype) for s in new_support
+        ]
+
+        coord_preds, vis_preds, conf_preds = self.iterate(
+            fmaps_pyramid,
+            support_pyramid,
+            coords_init,
+            vis_init,
+            conf_init,
+            iters=iters,
+            track_mask=track_mask,
+            add_space_attn=add_space_attn,
+            stop_grad_between_iters=False,
+        )
+
+        coords_buf = jax.lax.dynamic_update_slice_in_dim(
+            state.coords, coord_preds[-1], ind, axis=1
+        )
+        vis_buf = jax.lax.dynamic_update_slice_in_dim(state.vis, vis_preds[-1], ind, axis=1)
+        conf_buf = jax.lax.dynamic_update_slice_in_dim(state.conf, conf_preds[-1], ind, axis=1)
+
+        new_state = OnlineState(
+            ind=ind + step,
+            track_feat=tuple(new_feat),
+            track_support=tuple(new_support),
+            coords=coords_buf,
+            vis=vis_buf,
+            conf=conf_buf,
+        )
+        return (
+            new_state,
+            coords_buf,
+            jax.nn.sigmoid(vis_buf),
+            jax.nn.sigmoid(conf_buf),
+        )

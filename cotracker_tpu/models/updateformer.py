@@ -1,0 +1,114 @@
+"""EfficientUpdateFormer: the iterative track-update transformer.
+
+Functional equivalent of reference EfficientUpdateFormer
+(cotracker/models/core/cotracker/cotracker.py:387-531): interleaved
+time-attention (per track, over frames) and factorized cross-track space
+attention through `num_virtual_tracks` virtual-track tokens:
+
+    virtual <- points   (cross-attn, the only N-reduction; collective point
+                         under track sharding)
+    virtual <- virtual  (self-attn among 64 tokens)
+    points  <- virtual  (cross-attn; virtual tokens are tiny and replicable)
+
+TPU notes: time attention reshapes to ((B*(N+V)), T, C) — embarrassingly
+parallel over tracks, which is what makes the N axis the natural sharding
+axis (SURVEY.md §2.7). The virtual-token bottleneck means cross-chip traffic
+is only O(V * C) per block.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cotracker_tpu.models.blocks import AttnBlock, CrossAttnBlock
+
+
+class EfficientUpdateFormer(nn.Module):
+    space_depth: int = 3
+    time_depth: int = 3
+    input_dim: int = 1110
+    hidden_size: int = 384
+    num_heads: int = 8
+    output_dim: int = 4
+    mlp_ratio: float = 4.0
+    num_virtual_tracks: int = 64
+    add_space_attn: bool = True
+    linear_layer_for_vis_conf: bool = True
+
+    @nn.compact
+    def __call__(self, x, track_mask: Optional[jnp.ndarray] = None, add_space_attn: bool = True):
+        """x: (B, N, T, input_dim) -> (B, N, T, output_dim).
+
+        track_mask: optional (B, N) bool, True = real track. Padded tracks are
+        excluded as keys of the virtual<-points attention so that padding N to
+        a static shape (or sharding N) never changes real-track outputs.
+        """
+        B, N, T, _ = x.shape
+        V = self.num_virtual_tracks
+        dim_head = self.hidden_size // self.num_heads
+
+        tokens = nn.Dense(self.hidden_size, name="input_transform")(x)
+        virtual = self.param(
+            "virtual_tracks",
+            nn.initializers.normal(stddev=1.0),
+            (1, V, 1, self.hidden_size),
+        ).astype(tokens.dtype)
+        virtual = jnp.broadcast_to(virtual, (B, V, T, self.hidden_size))
+        tokens = jnp.concatenate([tokens, virtual], axis=1)  # (B, N+V, T, C)
+        Nv = N + V
+
+        key_mask = None
+        if track_mask is not None:
+            key_mask = jnp.broadcast_to(track_mask[:, None, :], (B, T, N)).reshape(B * T, N)
+
+        time_blocks = [
+            AttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, name=f"time_blocks_{i}")
+            for i in range(self.time_depth)
+        ]
+        if self.add_space_attn:
+            v_blocks = [
+                AttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, name=f"space_virtual_blocks_{i}")
+                for i in range(self.space_depth)
+            ]
+            p2v_blocks = [
+                CrossAttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, name=f"space_point2virtual_blocks_{i}")
+                for i in range(self.space_depth)
+            ]
+            v2p_blocks = [
+                CrossAttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, name=f"space_virtual2point_blocks_{i}")
+                for i in range(self.space_depth)
+            ]
+
+        j = 0
+        for i in range(self.time_depth):
+            time_tokens = tokens.reshape(B * Nv, T, self.hidden_size)
+            time_tokens = time_blocks[i](time_tokens)
+            tokens = time_tokens.reshape(B, Nv, T, self.hidden_size)
+
+            if (
+                add_space_attn
+                and self.add_space_attn
+                and i % (self.time_depth // self.space_depth) == 0
+            ):
+                space_tokens = tokens.transpose(0, 2, 1, 3).reshape(B * T, Nv, self.hidden_size)
+                point_tokens = space_tokens[:, :N]
+                virtual_tokens = space_tokens[:, N:]
+
+                virtual_tokens = v2p_blocks[j](virtual_tokens, point_tokens, key_mask=key_mask)
+                virtual_tokens = v_blocks[j](virtual_tokens)
+                point_tokens = p2v_blocks[j](point_tokens, virtual_tokens)
+
+                space_tokens = jnp.concatenate([point_tokens, virtual_tokens], axis=1)
+                tokens = space_tokens.reshape(B, T, Nv, self.hidden_size).transpose(0, 2, 1, 3)
+                j += 1
+
+        tokens = tokens[:, :N]
+        flow = nn.Dense(
+            self.output_dim - 2 if self.linear_layer_for_vis_conf else self.output_dim,
+            name="flow_head",
+        )(tokens)
+        if self.linear_layer_for_vis_conf:
+            vis_conf = nn.Dense(2, name="vis_conf_head")(tokens)
+            flow = jnp.concatenate([flow, vis_conf], axis=-1)
+        return flow
