@@ -1,0 +1,156 @@
+"""Checkpoint import: reference torch state_dicts -> flax param pytrees.
+
+The published CoTracker3 checkpoints (and any state_dict produced by the
+reference trainer, plain or {"model": ...}-wrapped — reference
+build_cotracker.py:39-45) are converted one-way into this framework's param
+tree. Conversions:
+
+  * conv weights  (O, I, kh, kw) -> (kh, kw, I, O)   (NCHW -> NHWC layouts)
+  * linear weights (out, in)     -> (in, out)
+  * layer norm weight/bias       -> scale/bias
+  * `virual_tracks` (reference's spelling, cotracker.py:416) -> virtual_tracks
+  * time_emb / pos_emb buffers are dropped (recomputed deterministically),
+    matching the reference's own restore path (train_on_kubric.py:356-377).
+"""
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _to_numpy(v) -> np.ndarray:
+    if isinstance(v, np.ndarray):
+        return v
+    try:
+        return v.detach().cpu().numpy()  # torch tensor
+    except AttributeError:
+        return np.asarray(v)
+
+
+def _conv(w):
+    return jnp.asarray(np.transpose(_to_numpy(w), (2, 3, 1, 0)))
+
+
+def _linear(w):
+    return jnp.asarray(np.transpose(_to_numpy(w), (1, 0)))
+
+
+def _vec(w):
+    return jnp.asarray(_to_numpy(w))
+
+
+def _set(tree: Dict[str, Any], path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def import_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert a reference CoTracker3 state_dict into a flax params dict
+    matching `CoTrackerThree` (models/cotracker3.py)."""
+    params: Dict[str, Any] = {}
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+
+    for key, val in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        if key in ("time_emb", "pos_emb") or key.endswith(".time_emb") or key.endswith(".pos_emb"):
+            continue
+
+        parts = key.split(".")
+
+        # ---------------- encoder ----------------
+        if parts[0] == "fnet":
+            rest = parts[1:]
+            if rest[0] in ("conv1", "conv2", "conv3"):
+                kind = "kernel" if rest[1] == "weight" else "bias"
+                _set(params, ("fnet", rest[0], kind), _conv(val) if kind == "kernel" else _vec(val))
+            elif re.fullmatch(r"layer\d", rest[0]):
+                # fnet.layerL.B.convX.weight  /  fnet.layerL.B.downsample.0.weight
+                layer, block = rest[0], rest[1]
+                name = f"{layer}_{block}"
+                if rest[2] == "downsample":
+                    kind = "kernel" if rest[4] == "weight" else "bias"
+                    _set(
+                        params,
+                        ("fnet", name, "downsample", kind),
+                        _conv(val) if kind == "kernel" else _vec(val),
+                    )
+                elif rest[2] in ("conv1", "conv2"):
+                    kind = "kernel" if rest[3] == "weight" else "bias"
+                    _set(
+                        params,
+                        ("fnet", name, rest[2], kind),
+                        _conv(val) if kind == "kernel" else _vec(val),
+                    )
+                # norm1/norm2/norm3: InstanceNorm2d, paramless in reference configs
+            continue
+
+        # ---------------- corr mlp ----------------
+        if parts[0] == "corr_mlp":
+            kind = "kernel" if parts[2] == "weight" else "bias"
+            _set(
+                params,
+                ("corr_mlp", parts[1], kind),
+                _linear(val) if kind == "kernel" else _vec(val),
+            )
+            continue
+
+        # ---------------- update transformer ----------------
+        if parts[0] == "updateformer":
+            rest = parts[1:]
+            if rest[0] == "virual_tracks":
+                _set(params, ("updateformer", "virtual_tracks"), _vec(val))
+                continue
+            if rest[0] in ("input_transform", "flow_head", "vis_conf_head"):
+                kind = "kernel" if rest[1] == "weight" else "bias"
+                _set(
+                    params,
+                    ("updateformer", rest[0], kind),
+                    _linear(val) if kind == "kernel" else _vec(val),
+                )
+                continue
+            m = re.fullmatch(
+                r"(time_blocks|space_virtual_blocks|space_point2virtual_blocks|space_virtual2point_blocks)",
+                rest[0],
+            )
+            if m:
+                block = f"{rest[0]}_{rest[1]}"
+                sub = rest[2]  # attn / cross_attn / mlp / norm_context (norm1/2 paramless)
+                if sub in ("attn", "cross_attn"):
+                    proj = rest[3]  # to_q / to_kv / to_out
+                    kind = "kernel" if rest[4] == "weight" else "bias"
+                    _set(
+                        params,
+                        ("updateformer", block, sub, proj, kind),
+                        _linear(val) if kind == "kernel" else _vec(val),
+                    )
+                elif sub == "mlp":
+                    fc = rest[3]
+                    kind = "kernel" if rest[4] == "weight" else "bias"
+                    _set(
+                        params,
+                        ("updateformer", block, "mlp", fc, kind),
+                        _linear(val) if kind == "kernel" else _vec(val),
+                    )
+                elif sub == "norm_context":
+                    kind = "scale" if rest[3] == "weight" else "bias"
+                    _set(params, ("updateformer", block, "norm_context", kind), _vec(val))
+                continue
+
+    return params
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference .pth checkpoint file (plain state_dict or
+    {"model": state_dict}) and convert it."""
+    import torch
+
+    with open(path, "rb") as f:
+        state_dict = torch.load(f, map_location="cpu", weights_only=False)
+    if "model" in state_dict:
+        state_dict = state_dict["model"]
+    return import_torch_state_dict(state_dict)

@@ -1,0 +1,190 @@
+"""Golden-parity tests: encoder / updateformer / full offline model vs the
+reference torch implementation with identical weights.
+
+Each test instantiates the reference module on CPU (random torch init),
+imports its state_dict through models/checkpoint.py, and requires numerical
+agreement on identical inputs.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference
+
+torch = pytest.importorskip("torch")
+
+from cotracker_tpu.models.blocks import BasicEncoder  # noqa: E402
+from cotracker_tpu.models.updateformer import EfficientUpdateFormer  # noqa: E402
+from cotracker_tpu.models.cotracker3 import CoTrackerThree  # noqa: E402
+from cotracker_tpu.models.checkpoint import import_torch_state_dict  # noqa: E402
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+@requires_reference
+class TestEncoderParity:
+    def test_basic_encoder(self):
+        from cotracker.models.core.cotracker.blocks import BasicEncoder as RefEncoder
+
+        torch.manual_seed(0)
+        ref = RefEncoder(input_dim=3, output_dim=128, stride=4).eval()
+
+        sd = {f"fnet.{k}": v for k, v in ref.state_dict().items()}
+        params = import_torch_state_dict(sd)["fnet"]
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 64, 96, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+        enc = BasicEncoder(output_dim=128, stride=4)
+        out = enc.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(
+            _np(out).transpose(0, 3, 1, 2), ref_out, rtol=1e-3, atol=1e-4
+        )
+
+
+@requires_reference
+class TestUpdateFormerParity:
+    def _make_pair(self):
+        from cotracker.models.core.cotracker.cotracker import (
+            EfficientUpdateFormer as RefUF,
+        )
+
+        torch.manual_seed(1)
+        ref = RefUF(
+            space_depth=3,
+            time_depth=3,
+            input_dim=1110,
+            hidden_size=384,
+            output_dim=4,
+            mlp_ratio=4.0,
+            num_virtual_tracks=64,
+            add_space_attn=True,
+            linear_layer_for_vis_conf=True,
+        ).eval()
+        sd = {f"updateformer.{k}": v for k, v in ref.state_dict().items()}
+        params = import_torch_state_dict(sd)["updateformer"]
+        ours = EfficientUpdateFormer()
+        return ref, ours, params
+
+    def test_forward(self):
+        ref, ours, params = self._make_pair()
+        rng = np.random.default_rng(2)
+        B, N, T = 1, 7, 8
+        x = (rng.standard_normal((B, N, T, 1110)) * 0.5).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x), add_space_attn=True).numpy()
+        out = ours.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(_np(out), ref_out, rtol=1e-3, atol=1e-4)
+
+    def test_forward_no_space_attn(self):
+        ref, ours, params = self._make_pair()
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((2, 5, 6, 1110)) * 0.5).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x), add_space_attn=False).numpy()
+        out = ours.apply({"params": params}, jnp.asarray(x), add_space_attn=False)
+        np.testing.assert_allclose(_np(out), ref_out, rtol=1e-3, atol=1e-4)
+
+    def test_padding_invariance(self):
+        """Padding N with junk tracks + track_mask must not change real outputs
+        — the property our static-shape/track-sharded design relies on."""
+        _, ours, params = self._make_pair()
+        rng = np.random.default_rng(4)
+        B, N, T, PAD = 1, 6, 5, 4
+        x = (rng.standard_normal((B, N, T, 1110)) * 0.5).astype(np.float32)
+        base = ours.apply({"params": params}, jnp.asarray(x))
+
+        xpad = np.concatenate(
+            [x, 13.0 * rng.standard_normal((B, PAD, T, 1110)).astype(np.float32)], axis=1
+        )
+        mask = jnp.asarray(
+            np.concatenate([np.ones((B, N)), np.zeros((B, PAD))], axis=1).astype(bool)
+        )
+        padded = ours.apply({"params": params}, jnp.asarray(xpad), track_mask=mask)
+        np.testing.assert_allclose(_np(padded)[:, :N], _np(base), rtol=1e-4, atol=1e-5)
+
+
+@requires_reference
+class TestModelParity:
+    def _make_pair(self, window_len=60):
+        from cotracker.models.core.cotracker.cotracker3_offline import (
+            CoTrackerThreeOffline,
+        )
+
+        torch.manual_seed(5)
+        ref = CoTrackerThreeOffline(
+            stride=4, corr_radius=3, window_len=window_len, model_resolution=(384, 512)
+        ).eval()
+        params = import_torch_state_dict(ref.state_dict())
+        ours = CoTrackerThree(window_len=window_len)
+        return ref, ours, params
+
+    def test_offline_forward(self):
+        ref, ours, params = self._make_pair()
+        rng = np.random.default_rng(6)
+        B, T, H, W, N = 1, 8, 64, 96, 5
+        video = (rng.random((B, T, 3, H, W)) * 255).astype(np.float32)
+        queries = np.stack(
+            [
+                rng.integers(0, T, (B, N)).astype(np.float32),
+                rng.random((B, N)) * (W - 1),
+                rng.random((B, N)) * (H - 1),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+        with torch.no_grad():
+            ref_coords, ref_vis, ref_conf, _ = ref(
+                torch.from_numpy(video), torch.from_numpy(queries), iters=2
+            )
+
+        coords, vis, conf, _ = ours.apply(
+            {"params": params},
+            jnp.asarray(video.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(queries),
+            iters=2,
+        )
+        np.testing.assert_allclose(_np(coords), ref_coords.numpy(), rtol=1e-3, atol=2e-2)
+        np.testing.assert_allclose(_np(vis), ref_vis.numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(_np(conf), ref_conf.numpy(), rtol=1e-3, atol=1e-3)
+
+    def test_offline_padding_invariance(self):
+        _, ours, params = self._make_pair()
+        rng = np.random.default_rng(7)
+        B, T, H, W, N, PAD = 1, 4, 32, 32, 3, 5
+        video = (rng.random((B, T, H, W, 3)) * 255).astype(np.float32)
+        queries = np.stack(
+            [
+                rng.integers(0, T, (B, N)).astype(np.float32),
+                rng.random((B, N)) * (W - 1),
+                rng.random((B, N)) * (H - 1),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+        base_coords, base_vis, *_ = ours.apply(
+            {"params": params}, jnp.asarray(video), jnp.asarray(queries), iters=2
+        )
+        qpad = np.concatenate(
+            [queries, np.stack(
+                [np.zeros((B, PAD)), rng.random((B, PAD)) * W, rng.random((B, PAD)) * H],
+                axis=-1,
+            ).astype(np.float32)],
+            axis=1,
+        )
+        mask = jnp.asarray(
+            np.concatenate([np.ones((B, N)), np.zeros((B, PAD))], axis=1).astype(bool)
+        )
+        pc, pv, *_ = ours.apply(
+            {"params": params}, jnp.asarray(video), jnp.asarray(qpad), iters=2, track_mask=mask
+        )
+        np.testing.assert_allclose(_np(pc)[:, :, :N], _np(base_coords), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(_np(pv)[:, :, :N], _np(base_vis), rtol=1e-4, atol=1e-4)
