@@ -1,0 +1,95 @@
+"""Benchmark harness: points*frames/sec/chip for the flagship offline tracker.
+
+North-star config (BASELINE.json): 10,000 query points tracked through a
+60-frame 480p-class video (model resolution 384x512, stride 4), 6 update
+iterations — the quasi-dense joint-tracking workload.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against A100_REF_PFS — an estimate of the reference
+PyTorch implementation's A100 throughput on the same workload (the reference
+publishes no speed numbers; see BASELINE.md). Refine this constant as real
+measurements land.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Estimated reference (torch/A100) throughput on this workload in
+# points*frames/sec: ~10k pts * 60 frames / ~2.5 s per full 6-iter forward.
+A100_REF_PFS = 240_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from cotracker_tpu.models.cotracker3 import CoTrackerThree
+    from cotracker_tpu.models.build import init_params
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+
+    N = 10_000 if on_tpu else 256
+    T = 60 if on_tpu else 8
+    H, W = (384, 512) if on_tpu else (96, 128)
+    iters = 6
+    n_pad = ((N + 63) // 64) * 64
+
+    model = CoTrackerThree(
+        window_len=60,
+        model_resolution=(H, W),
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        corr_chunk=5024 if on_tpu else None,
+    )
+    params = init_params(model)
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.random((1, T, H, W, 3), np.float32) * 255)
+    queries = jnp.asarray(
+        np.stack(
+            [
+                np.zeros(n_pad, np.float32),
+                rng.random(n_pad).astype(np.float32) * (W - 1),
+                rng.random(n_pad).astype(np.float32) * (H - 1),
+            ],
+            axis=-1,
+        )[None]
+    )
+
+    @jax.jit
+    def fwd(params, video, queries):
+        coords, vis, conf, _ = model.apply(
+            {"params": params}, video, queries, iters=iters
+        )
+        return coords, vis
+
+    # compile + warmup
+    out = fwd(params, video, queries)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fwd(params, video, queries)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    pfs = N * T / dt
+    print(
+        json.dumps(
+            {
+                "metric": "points_frames_per_sec_per_chip",
+                "value": round(pfs, 1),
+                "unit": f"pts*frames/s (N={N}, T={T}, {H}x{W}, iters={iters}, {dev.platform})",
+                "vs_baseline": round(pfs / A100_REF_PFS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

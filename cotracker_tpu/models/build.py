@@ -13,6 +13,7 @@ def build_cotracker(
     offline: bool = True,
     window_len: Optional[int] = None,
     dtype: Any = jnp.float32,
+    model_resolution: Tuple[int, int] = (384, 512),
 ) -> Tuple[CoTrackerThree, Any]:
     """Build a CoTracker3 model definition and parameters.
 
@@ -22,7 +23,7 @@ def build_cotracker(
     """
     if window_len is None:
         window_len = 60 if offline else 16
-    model = CoTrackerThree(window_len=window_len, dtype=dtype)
+    model = CoTrackerThree(window_len=window_len, dtype=dtype, model_resolution=model_resolution)
 
     if checkpoint is not None:
         from cotracker_tpu.models.checkpoint import load_torch_checkpoint
@@ -36,10 +37,12 @@ def build_cotracker(
 def init_params(model: CoTrackerThree, seed: int = 0):
     """Random-initialize a parameter tree by tracing a tiny forward."""
     rng = jax.random.PRNGKey(seed)
-    h, w = model.model_resolution
     # tiny shapes are fine: params are shape-independent of T/N/H/W except
-    # the encoder convs (channel-only) and dense layers (feature-only)
+    # the encoder convs (channel-only) and dense layers (feature-only).
+    # init is jitted into ONE compile — eager init would dispatch hundreds of
+    # tiny ops, each a slow round-trip on remote-compile TPU backends.
     video = jnp.zeros((1, 2, model.stride * 8, model.stride * 8, 3), jnp.float32)
     queries = jnp.zeros((1, 1, 3), jnp.float32)
-    variables = model.init(rng, video, queries, iters=1)
-    return variables["params"]
+    init_fn = jax.jit(lambda r, v, q: model.init(r, v, q, iters=1))
+    variables = init_fn(rng, video, queries)
+    return jax.tree_util.tree_map(lambda x: x, variables["params"])

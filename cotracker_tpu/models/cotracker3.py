@@ -113,6 +113,9 @@ class CoTrackerThree(nn.Module):
     latent_dim: int = 128
     input_dim: int = 1110
     dtype: Any = jnp.float32
+    # chunk size over N for the correlation featurizer (bounds the transient
+    # (B,T,chunk,P,P,C) patch memory on-chip); None = no chunking
+    corr_chunk: Optional[int] = None
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride)
@@ -180,13 +183,21 @@ class CoTrackerThree(nn.Module):
         B, T = fmaps.shape[:2]
         N = coords.shape[2]
         P = 2 * self.corr_radius + 1
-        patches = sample_patch_features(fmaps, coords, self.corr_radius)  # (B,T,N,P,P,C)
-        sup = support.reshape(B, P, P, N, self.latent_dim).transpose(0, 3, 1, 2, 4)
-        corr = jnp.einsum(
-            "btnhwc,bnijc->btnhwij", patches, sup, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
-        corr = corr.reshape(B, T, N, P * P * P * P)
-        return self.corr_mlp(corr)
+        sup_full = support.reshape(B, P, P, N, self.latent_dim).transpose(0, 3, 1, 2, 4)
+
+        chunk = self.corr_chunk if (self.corr_chunk and N % self.corr_chunk == 0) else N
+        outs = []
+        for s in range(0, N, chunk):
+            patches = sample_patch_features(
+                fmaps, coords[:, :, s : s + chunk], self.corr_radius
+            )  # (B,T,chunk,P,P,C)
+            sup = sup_full[:, s : s + chunk]
+            corr = jnp.einsum(
+                "btnhwc,bnijc->btnhwij", patches, sup, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
+            corr = corr.reshape(B, T, chunk, P * P * P * P)
+            outs.append(self.corr_mlp(corr))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
 
     # ---------------------------------------------------------------- updates
 

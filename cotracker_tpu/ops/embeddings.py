@@ -22,7 +22,8 @@ def get_1d_sincos_pos_embed(embed_dim: int, pos) -> jnp.ndarray:
     pos = np.asarray(pos, dtype=np.float64).reshape(-1)
     out = np.einsum("m,d->md", pos, omega)
     emb = np.concatenate([np.sin(out), np.cos(out)], axis=1)
-    return jnp.asarray(emb[None], dtype=jnp.float32)
+    # pure-numpy result: safe to build inside jit traces as a constant
+    return emb[None].astype(np.float32)
 
 
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size) -> jnp.ndarray:
@@ -43,7 +44,7 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size) -> jnp.ndarray:
     emb_h = np.asarray(get_1d_sincos_pos_embed(embed_dim // 2, ww))  # (1, gh*gw, D/2)
     emb_w = np.asarray(get_1d_sincos_pos_embed(embed_dim // 2, hh))
     emb = np.concatenate([emb_h, emb_w], axis=2)  # (1, gh*gw, D)
-    return jnp.asarray(emb.reshape(1, gh, gw, embed_dim), dtype=jnp.float32)
+    return emb.reshape(1, gh, gw, embed_dim).astype(np.float32)
 
 
 def get_2d_embedding(xy, C: int, cat_coords: bool = True) -> jnp.ndarray:

@@ -1,0 +1,365 @@
+"""User-facing predictors (inference API layer).
+
+Drop-in functional equivalents of the reference CoTrackerPredictor /
+CoTrackerOnlinePredictor (cotracker/predictor.py:14-309), restructured for
+XLA: all per-video work (resize, tracking, backward merge, thresholding,
+query snap-back, rescale) runs inside one jitted function; query building
+happens host-side in numpy. N is padded to a bucket size with a track mask so
+recompiles only happen per (T, N_bucket), never per query count.
+
+Videos are accepted as (B, T, 3, H, W) float arrays in [0, 255] — the
+reference's convention — and converted to the framework's channel-last layout
+internally.
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cotracker_tpu.models.build import build_cotracker
+from cotracker_tpu.models.cotracker3 import CoTrackerThree
+from cotracker_tpu.ops.bilinear import resize_bilinear
+from cotracker_tpu.ops.samplers import get_points_on_a_grid
+
+N_BUCKET = 64  # tracks are padded to a multiple of this (static shapes)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class CoTrackerPredictor:
+    """Offline predictor (reference predictor.py:14-209).
+
+    Usage:
+        pred = CoTrackerPredictor(checkpoint="scaled_offline.pth")
+        tracks, visibility = pred(video, grid_size=10)
+    """
+
+    def __init__(
+        self,
+        checkpoint: Optional[str] = None,
+        offline: bool = True,
+        window_len: int = 60,
+        dtype=jnp.float32,
+        v2: bool = False,
+        model_resolution: Tuple[int, int] = (384, 512),
+    ):
+        if v2:
+            raise NotImplementedError("v2 legacy architecture is not supported")
+        self.support_grid_size = 6
+        self.model, self.params = build_cotracker(
+            checkpoint, offline=offline, window_len=window_len, dtype=dtype,
+            model_resolution=model_resolution,
+        )
+        self.interp_shape = self.model.model_resolution
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------ public
+
+    def __call__(
+        self,
+        video,
+        queries=None,
+        segm_mask=None,
+        grid_size: int = 0,
+        grid_query_frame: int = 0,
+        backward_tracking: bool = False,
+    ):
+        """video (B, T, 3, H, W) in [0,255]; queries (B, N, 3) as (t, x, y).
+
+        Returns (tracks (B, T, N, 2) float, visibility (B, T, N) bool) at the
+        input resolution. With neither queries nor grid_size, computes dense
+        tracks (reference predictor.py:51-56).
+        """
+        if queries is None and grid_size == 0:
+            return self._compute_dense_tracks(
+                video, grid_query_frame=grid_query_frame, backward_tracking=backward_tracking
+            )
+        return self._compute_sparse_tracks(
+            video,
+            queries,
+            segm_mask,
+            grid_size,
+            add_support_grid=(grid_size == 0 or segm_mask is not None),
+            grid_query_frame=grid_query_frame,
+            backward_tracking=backward_tracking,
+        )
+
+    # ------------------------------------------------------------------- dense
+
+    def _compute_dense_tracks(self, video, grid_query_frame, grid_size=80, backward_tracking=False):
+        """Tile a dense grid over pixel offsets (reference predictor.py:70-98)."""
+        video = np.asarray(video)
+        *_, H, W = video.shape
+        grid_step = W // grid_size
+        grid_width = W // grid_step
+        grid_height = H // grid_step
+        tracks_all, vis_all = [], []
+        grid_pts = np.zeros((video.shape[0], grid_width * grid_height, 3), np.float32)
+        grid_pts[:, :, 0] = grid_query_frame
+        for offset in range(grid_step * grid_step):
+            ox, oy = offset % grid_step, offset // grid_step
+            grid_pts[:, :, 1] = np.tile(np.arange(grid_width), grid_height) * grid_step + ox
+            grid_pts[:, :, 2] = np.repeat(np.arange(grid_height), grid_width) * grid_step + oy
+            t, v = self._compute_sparse_tracks(
+                video, grid_pts, backward_tracking=backward_tracking
+            )
+            tracks_all.append(np.asarray(t))
+            vis_all.append(np.asarray(v))
+        return np.concatenate(tracks_all, axis=2), np.concatenate(vis_all, axis=2)
+
+    # ------------------------------------------------------------------ sparse
+
+    def _compute_sparse_tracks(
+        self,
+        video,
+        queries,
+        segm_mask=None,
+        grid_size: int = 0,
+        add_support_grid: bool = False,
+        grid_query_frame: int = 0,
+        backward_tracking: bool = False,
+    ):
+        video = np.asarray(video, dtype=np.float32)
+        B, T, C, H, W = video.shape
+        ih, iw = self.interp_shape
+
+        # ---- build queries host-side (reference predictor.py:118-155)
+        if queries is not None:
+            queries = np.array(queries, dtype=np.float32, copy=True)
+            assert queries.shape[-1] == 3
+            queries[:, :, 1] *= (iw - 1) / (W - 1)
+            queries[:, :, 2] *= (ih - 1) / (H - 1)
+        elif grid_size > 0:
+            grid_pts = np.asarray(get_points_on_a_grid(grid_size, self.interp_shape))
+            if segm_mask is not None:
+                segm = np.asarray(segm_mask)[0, 0]
+                sh, sw = segm.shape
+                # nearest-neighbor resize to model resolution (torch 'nearest')
+                yi = (np.arange(ih) * sh / ih).astype(np.int64)
+                xi = (np.arange(iw) * sw / iw).astype(np.int64)
+                segm_r = segm[yi][:, xi]
+                py = np.clip(np.rint(grid_pts[0, :, 1]).astype(np.int64), 0, ih - 1)
+                px = np.clip(np.rint(grid_pts[0, :, 0]).astype(np.int64), 0, iw - 1)
+                keep = segm_r[py, px].astype(bool)
+                grid_pts = grid_pts[:, keep]
+            queries = np.concatenate(
+                [np.full_like(grid_pts[:, :, :1], grid_query_frame), grid_pts], axis=2
+            )
+            queries = np.tile(queries, (B, 1, 1)).astype(np.float32)
+
+        n_user = queries.shape[1]
+        if add_support_grid:
+            grid_pts = np.asarray(get_points_on_a_grid(self.support_grid_size, self.interp_shape))
+            support = np.concatenate([np.zeros_like(grid_pts[:, :, :1]), grid_pts], axis=2)
+            queries = np.concatenate([queries, np.tile(support, (B, 1, 1))], axis=1).astype(
+                np.float32
+            )
+
+        n_active = queries.shape[1]
+        n_pad = _round_up(max(n_active, 1), N_BUCKET)
+        queries_p = np.zeros((B, n_pad, 3), np.float32)
+        queries_p[:, :n_active] = queries
+        mask = np.zeros((B, n_pad), bool)
+        mask[:, :n_active] = True
+
+        fwd = self._get_jitted(T, n_pad, backward_tracking, H, W)
+        tracks, vis = fwd(
+            jnp.asarray(video),
+            jnp.asarray(queries_p),
+            jnp.asarray(mask),
+            n_user=n_user,
+        )
+        return tracks[:, :, :n_user], vis[:, :, :n_user]
+
+    # -------------------------------------------------------------------- jit
+
+    def _get_jitted(self, T, n_pad, backward, H, W):
+        key = (T, n_pad, backward, H, W)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                functools.partial(self._sparse_forward, backward_tracking=backward),
+                static_argnames=("n_user",),
+            )
+        return self._jit_cache[key]
+
+    def _sparse_forward(self, video, queries, track_mask, n_user, backward_tracking=False):
+        """The whole per-video pipeline inside one jit: resize -> track ->
+        backward merge -> threshold -> snap -> rescale.
+        (reference predictor.py:100-209)"""
+        B, T, C, H, W = video.shape
+        ih, iw = self.interp_shape
+
+        video = video.transpose(0, 1, 3, 4, 2)  # B T H W 3
+        video = resize_bilinear(video, (ih, iw), align_corners=True)
+
+        tracks, vis, conf, _ = self.model.apply(
+            {"params": self.params}, video, queries, iters=6, track_mask=track_mask
+        )
+
+        if backward_tracking:
+            inv_video = video[:, ::-1]
+            inv_queries = queries.at[:, :, 0].set(T - 1 - queries[:, :, 0])
+            inv_tracks, inv_vis, *_ = self.model.apply(
+                {"params": self.params}, inv_video, inv_queries, iters=6, track_mask=track_mask
+            )
+            inv_tracks = inv_tracks[:, ::-1]
+            inv_vis = inv_vis[:, ::-1]
+            arange = jnp.arange(T)[None, :, None]
+            before_query = arange < queries[:, None, :, 0]  # (B, T, N)
+            tracks = jnp.where(before_query[..., None], inv_tracks, tracks)
+            vis = jnp.where(before_query, inv_vis, vis)
+
+        # strip support grid + padding happens by slicing [:n_user] at the end;
+        # threshold first (reference predictor.py:170-171)
+        visibility = vis > 0.9
+
+        # query snap-back correction (reference predictor.py:173-185)
+        qt = queries[:, :, 0].astype(jnp.int32)  # (B, N)
+        qxy = queries[:, :, 1:]
+        bidx = jnp.arange(B)[:, None]
+        nidx = jnp.arange(tracks.shape[2])[None, :]
+        snap = jnp.arange(tracks.shape[2])[None, :] < n_user
+        tracks = tracks.at[bidx, qt, nidx].set(
+            jnp.where(snap[..., None], qxy, tracks[bidx, qt, nidx])
+        )
+        visibility = visibility.at[bidx, qt, nidx].set(
+            jnp.where(snap, True, visibility[bidx, qt, nidx])
+        )
+
+        scale = jnp.asarray([(W - 1) / (iw - 1), (H - 1) / (ih - 1)], jnp.float32)
+        return tracks * scale, visibility
+
+
+class CoTrackerOnlinePredictor:
+    """Streaming predictor (reference predictor.py:212-309).
+
+    Call once with `is_first_step=True` (registers queries / grid), then with
+    consecutive `window_len`-frame chunks every `step = window_len // 2`
+    frames. Maintains an explicit OnlineState carry; the per-window step is
+    jitted once and runs at constant memory in video length.
+    """
+
+    def __init__(
+        self,
+        checkpoint: Optional[str] = None,
+        window_len: int = 16,
+        capacity: int = 4096,
+        dtype=jnp.float32,
+        v2: bool = False,
+        model_resolution: Tuple[int, int] = (384, 512),
+    ):
+        if v2:
+            raise NotImplementedError("v2 legacy architecture is not supported")
+        self.support_grid_size = 6
+        self.model, self.params = build_cotracker(
+            checkpoint, offline=False, window_len=window_len, dtype=dtype,
+            model_resolution=model_resolution,
+        )
+        self.interp_shape = self.model.model_resolution
+        self.step = self.model.window_len // 2
+        self.capacity = capacity
+        self._jit_step = None
+        self._state = None
+        self._queries = None
+        self._n_user = 0
+        self._frames_seen = 0
+        self._orig_hw = None
+
+    def __call__(
+        self,
+        video_chunk,
+        is_first_step: bool = False,
+        queries=None,
+        grid_size: int = 5,
+        grid_query_frame: int = 0,
+        add_support_grid: bool = False,
+    ):
+        B, T, C, H, W = np.asarray(video_chunk).shape if not is_first_step else video_chunk.shape
+        ih, iw = self.interp_shape
+
+        if is_first_step:
+            self._state = None
+            self._frames_seen = 0
+            self._orig_hw = (H, W)
+            if queries is not None:
+                q = np.array(queries, dtype=np.float32, copy=True)
+                self._n_user = q.shape[1]
+                q[:, :, 1] *= (iw - 1) / (W - 1)
+                q[:, :, 2] *= (ih - 1) / (H - 1)
+                if add_support_grid:
+                    grid_pts = np.asarray(
+                        get_points_on_a_grid(self.support_grid_size, self.interp_shape)
+                    )
+                    support = np.concatenate(
+                        [np.zeros_like(grid_pts[:, :, :1]), grid_pts], axis=2
+                    )
+                    q = np.concatenate([q, np.tile(support, (q.shape[0], 1, 1))], axis=1)
+            elif grid_size > 0:
+                grid_pts = np.asarray(get_points_on_a_grid(grid_size, self.interp_shape))
+                self._n_user = grid_size**2
+                q = np.concatenate(
+                    [np.full_like(grid_pts[:, :, :1], grid_query_frame), grid_pts], axis=2
+                )
+            self._add_support_grid = add_support_grid
+            n_active = q.shape[1]
+            n_pad = _round_up(n_active, N_BUCKET)
+            qp = np.zeros((q.shape[0], n_pad, 3), np.float32)
+            qp[:, :n_active] = q
+            m = np.zeros((q.shape[0], n_pad), bool)
+            m[:, :n_active] = True
+            self._queries = jnp.asarray(qp)
+            self._track_mask = jnp.asarray(m)
+            return (None, None)
+
+        H0, W0 = self._orig_hw
+        S = self.model.window_len
+        chunk = np.asarray(video_chunk, dtype=np.float32)
+        T_true = chunk.shape[1]
+        assert T_true <= S, "Online mode: video chunk must be <= window size."
+        if T_true < S:  # pad with the last frame (reference cotracker3_online.py:320-328)
+            pad = np.repeat(chunk[:, -1:], S - T_true, axis=1)
+            chunk = np.concatenate([chunk, pad], axis=1)
+
+        if self._state is None:
+            self._state = self.model.apply(
+                {"params": self.params},
+                chunk.shape[0],
+                self._queries.shape[1],
+                self.capacity,
+                method=CoTrackerThree.online_init,
+            )
+        if self._jit_step is None:
+            def step_fn(params, state, chunk, queries, track_mask):
+                chunk = chunk.transpose(0, 1, 3, 4, 2)
+                chunk = resize_bilinear(chunk, self.interp_shape, align_corners=True)
+                return self.model.apply(
+                    {"params": params},
+                    state,
+                    chunk,
+                    queries,
+                    iters=6,
+                    track_mask=track_mask,
+                    method=CoTrackerThree.online_step,
+                )
+
+            self._jit_step = jax.jit(step_fn)
+
+        ind_before = int(self._state.ind)
+        self._state, coords, vis, conf = self._jit_step(
+            self.params, self._state, jnp.asarray(chunk), self._queries, self._track_mask
+        )
+        self._frames_seen = min(ind_before + T_true, self.capacity)
+
+        n = self._n_user
+        tracks = coords[:, : self._frames_seen, :n]
+        visibility = (vis * conf)[:, : self._frames_seen, :n]
+        scale = jnp.asarray(
+            [(W0 - 1) / (self.interp_shape[1] - 1), (H0 - 1) / (self.interp_shape[0] - 1)],
+            jnp.float32,
+        )
+        return tracks * scale, visibility > 0.6

@@ -1,0 +1,90 @@
+"""Training losses (mirrors reference losses.py:14-118 and the loss assembly
+in train_on_kubric.py:191-227).
+
+All losses operate on per-iteration stacked predictions
+(iters, B, T, N, ...) — the natural output of the scan/unrolled update loop —
+instead of the reference's nested python lists.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from cotracker_tpu.ops.masked import reduce_masked_mean
+
+
+def huber(x, y, delta: float = 1.0):
+    """Elementwise Huber loss (reference losses.py:48-53)."""
+    diff = x - y
+    a = jnp.abs(diff)
+    flag = (a <= delta).astype(x.dtype)
+    return flag * 0.5 * diff**2 + (1 - flag) * delta * (a - 0.5 * delta)
+
+
+def sequence_loss(
+    flow_preds,
+    flow_gt,
+    valids,
+    vis=None,
+    gamma: float = 0.8,
+    add_huber_loss: bool = False,
+    loss_only_for_visible: bool = False,
+):
+    """Gamma-discounted per-iteration flow loss (reference losses.py:14-45).
+
+    flow_preds: (iters, B, T, N, 2); flow_gt (B, T, N, 2); valids (B, T, N);
+    vis (B, T, N) optional visibility gate.
+    """
+    iters = flow_preds.shape[0]
+    total = 0.0
+    for i in range(iters):
+        w = gamma ** (iters - i - 1)
+        if add_huber_loss:
+            i_loss = huber(flow_preds[i], flow_gt, delta=6.0)
+        else:
+            i_loss = jnp.abs(flow_preds[i] - flow_gt)
+        i_loss = jnp.mean(i_loss, axis=3)  # B, T, N
+        valid = valids
+        if loss_only_for_visible and vis is not None:
+            valid = valid * vis
+        total = total + w * reduce_masked_mean(i_loss, valid)
+    return total / iters
+
+
+def _bce(prob, target, eps: float = 1e-12):
+    # matches torch F.binary_cross_entropy on probabilities (inputs clamped)
+    prob = jnp.clip(prob, eps, 1.0 - eps)
+    return -(target * jnp.log(prob) + (1.0 - target) * jnp.log1p(-prob))
+
+
+def sequence_bce_loss(vis_preds, vis_gt):
+    """Mean BCE over iterations (reference losses.py:56-66).
+
+    vis_preds: (iters, B, T, N) probabilities; vis_gt (B, T, N) in {0,1}.
+    """
+    iters = vis_preds.shape[0]
+    total = 0.0
+    for i in range(iters):
+        total = total + jnp.mean(_bce(vis_preds[i], vis_gt))
+    return total / iters
+
+
+def sequence_prob_loss(
+    tracks,
+    confidence,
+    target_points,
+    visibility,
+    expected_dist_thresh: float = 12.0,
+):
+    """Confidence loss: classify "err <= 12px" (reference losses.py:69-93).
+
+    tracks (iters, B, T, N, 2); confidence (iters, B, T, N) probabilities;
+    target_points (B, T, N, 2); visibility (B, T, N).
+    """
+    iters = tracks.shape[0]
+    total = 0.0
+    for i in range(iters):
+        err = jnp.sum((jax.lax.stop_gradient(tracks[i]) - target_points) ** 2, axis=-1)
+        valid = (err <= expected_dist_thresh**2).astype(jnp.float32)
+        logprob = _bce(confidence[i], valid) * visibility
+        total = total + jnp.mean(logprob, axis=(1, 2))
+    return total / iters

@@ -1,0 +1,163 @@
+"""Predictor API parity vs reference CoTrackerPredictor / CoTrackerOnlinePredictor.
+
+Uses small-resolution models (48x64) on both sides for CPU test speed; the
+protocol logic (resize, grid queries, support grid, segm mask, backward
+tracking, thresholds, snap-back, rescale) is resolution-independent.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from conftest import requires_reference
+
+torch = pytest.importorskip("torch")
+
+from cotracker_tpu.models.checkpoint import import_torch_state_dict  # noqa: E402
+from cotracker_tpu.predictor import CoTrackerPredictor, CoTrackerOnlinePredictor  # noqa: E402
+
+RES = (48, 64)
+
+
+def _make_ref_predictor(window_len=12, offline=True):
+    from cotracker.predictor import CoTrackerPredictor as RefPredictor
+    from cotracker.models.core.cotracker.cotracker3_offline import CoTrackerThreeOffline
+
+    torch.manual_seed(21)
+    model = CoTrackerThreeOffline(
+        stride=4, corr_radius=3, window_len=window_len, model_resolution=RES
+    ).eval()
+    ref = RefPredictor.__new__(RefPredictor)
+    torch.nn.Module.__init__(ref)
+    ref.v2 = False
+    ref.support_grid_size = 6
+    ref.interp_shape = RES
+    ref.model = model
+    return ref
+
+
+def _make_ours(ref, window_len=12):
+    params = import_torch_state_dict(ref.model.state_dict())
+    ours = CoTrackerPredictor(window_len=window_len, model_resolution=RES)
+    ours.params = params
+    return ours
+
+
+@requires_reference
+class TestOfflinePredictorParity:
+    def setup_method(self):
+        self.ref = _make_ref_predictor()
+        self.ours = _make_ours(self.ref)
+        rng = np.random.default_rng(22)
+        self.video = (rng.random((1, 10, 3, 36, 52)) * 255).astype(np.float32)
+
+    def _compare(self, ref_out, our_out, atol_px=0.1):
+        ref_tracks, ref_vis = ref_out
+        tracks, vis = our_out
+        np.testing.assert_allclose(
+            np.asarray(tracks), ref_tracks.numpy(), rtol=1e-3, atol=atol_px
+        )
+        # visibility is a hard threshold; allow a tiny disagreement band
+        agree = (np.asarray(vis) == ref_vis.numpy()).mean()
+        assert agree > 0.99, f"visibility agreement {agree}"
+
+    def test_grid_queries(self):
+        with torch.no_grad():
+            ref_out = self.ref(torch.from_numpy(self.video), grid_size=4)
+        our_out = self.ours(self.video, grid_size=4)
+        assert our_out[0].shape == (1, 10, 16, 2)
+        self._compare(ref_out, our_out)
+
+    def test_explicit_queries_with_support_grid(self):
+        rng = np.random.default_rng(23)
+        queries = np.stack(
+            [
+                rng.integers(0, 10, (1, 5)).astype(np.float32),
+                rng.random((1, 5)) * 51,
+                rng.random((1, 5)) * 35,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        with torch.no_grad():
+            ref_out = self.ref(torch.from_numpy(self.video), queries=torch.from_numpy(queries))
+        our_out = self.ours(self.video, queries=queries)
+        assert our_out[0].shape == (1, 10, 5, 2)
+        self._compare(ref_out, our_out)
+
+    def test_backward_tracking(self):
+        rng = np.random.default_rng(24)
+        queries = np.stack(
+            [
+                np.asarray([[3.0, 0.0, 7.0]], np.float32),
+                rng.random((1, 3)) * 51,
+                rng.random((1, 3)) * 35,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        with torch.no_grad():
+            ref_out = self.ref(
+                torch.from_numpy(self.video),
+                queries=torch.from_numpy(queries),
+                backward_tracking=True,
+            )
+        our_out = self.ours(self.video, queries=queries, backward_tracking=True)
+        self._compare(ref_out, our_out)
+
+    def test_segm_mask(self):
+        segm = np.zeros((1, 1, 36, 52), np.float32)
+        segm[:, :, 8:30, 10:40] = 1.0
+        with torch.no_grad():
+            ref_out = self.ref(
+                torch.from_numpy(self.video),
+                grid_size=5,
+                segm_mask=torch.from_numpy(segm),
+            )
+        our_out = self.ours(self.video, grid_size=5, segm_mask=segm)
+        assert our_out[0].shape[2] == ref_out[0].shape[2]  # same masked count
+        self._compare(ref_out, our_out)
+
+
+@requires_reference
+class TestOnlinePredictorParity:
+    def test_streaming_protocol(self):
+        from cotracker.predictor import CoTrackerOnlinePredictor as RefOnline
+        from cotracker.models.core.cotracker.cotracker3_online import CoTrackerThreeOnline
+
+        window_len = 8
+        torch.manual_seed(31)
+        model = CoTrackerThreeOnline(
+            stride=4, corr_radius=3, window_len=window_len, model_resolution=RES
+        ).eval()
+        ref = RefOnline.__new__(RefOnline)
+        torch.nn.Module.__init__(ref)
+        ref.v2 = False
+        ref.support_grid_size = 6
+        ref.interp_shape = RES
+        ref.step = window_len // 2
+        ref.model = model
+
+        ours = CoTrackerOnlinePredictor(
+            window_len=window_len, capacity=64, model_resolution=RES
+        )
+        ours.params = import_torch_state_dict(model.state_dict())
+
+        rng = np.random.default_rng(32)
+        T = 20
+        video = (rng.random((1, T, 3, 36, 52)) * 255).astype(np.float32)
+
+        with torch.no_grad():
+            ref(torch.from_numpy(video[:, :1]), is_first_step=True, grid_size=3)
+            for ind in range(0, T - ref.step, ref.step):
+                chunk = torch.from_numpy(video[:, ind : ind + window_len])
+                ref_tracks, ref_vis = ref(chunk)
+
+        ours(video[:, :1], is_first_step=True, grid_size=3)
+        for ind in range(0, T - ours.step, ours.step):
+            tracks, vis = ours(video[:, ind : ind + window_len])
+
+        assert np.asarray(tracks).shape == tuple(ref_tracks.shape)
+        np.testing.assert_allclose(
+            np.asarray(tracks), ref_tracks.numpy(), rtol=1e-3, atol=0.1
+        )
+        agree = (np.asarray(vis) == ref_vis.numpy()).mean()
+        assert agree > 0.99, f"visibility agreement {agree}"
