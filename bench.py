@@ -42,7 +42,7 @@ def main():
         window_len=60,
         model_resolution=(H, W),
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        corr_chunk=5024 if on_tpu else None,
+        corr_chunk=2048 if on_tpu else None,
     )
     params = init_params(model)
 
@@ -66,15 +66,21 @@ def main():
         )
         return coords, vis
 
+    def run_sync(v):
+        # force a device->host readback: on remote-tunnel backends
+        # block_until_ready alone may not actually synchronize
+        out = fwd(params, v, queries)
+        return float(np.asarray(out[0][0, -1, -1]).sum())
+
     # compile + warmup
-    out = fwd(params, video, queries)
-    jax.block_until_ready(out)
+    run_sync(video)
 
     times = []
-    for _ in range(3):
+    for i in range(3):
+        # vary the input so no caching layer can short-circuit the step
+        v = video + np.float32(i)
         t0 = time.perf_counter()
-        out = fwd(params, video, queries)
-        jax.block_until_ready(out)
+        run_sync(v)
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

@@ -1,0 +1,118 @@
+"""Benchmark evaluation CLI (replaces the reference's hydra entry,
+cotracker/evaluation/evaluate.py:25-190, with one typed config).
+
+Usage:
+    python -m cotracker_tpu.evaluation.evaluate \
+        --checkpoint scaled_offline.pth --dataset_name tapvid_davis_first \
+        --dataset_root /path/to/tapvid_davis/tapvid_davis.pkl
+
+Writes expconfig.json and result_eval_.json (metrics + wall time) into
+--exp_dir, like the reference.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass
+class DefaultConfig:
+    exp_dir: str = "./outputs/cotracker_tpu_eval"
+    dataset_name: str = "tapvid_davis_first"
+    dataset_root: str = "./"
+    checkpoint: Optional[str] = None
+    single_point: bool = False
+    grid_size: int = 5
+    local_grid_size: int = 8
+    sift_size: int = 0
+    num_uniformly_sampled_pts: int = 0
+    n_iters: int = 6
+    offline_model: bool = True
+    window_len: int = 60
+    fast_eval: bool = False
+    local_extent: int = 50
+
+
+def run_eval(cfg: DefaultConfig):
+    from cotracker_tpu.models.build import build_cotracker
+    from cotracker_tpu.evaluation.evaluation_predictor import EvaluationPredictor
+    from cotracker_tpu.evaluation.evaluator import Evaluator, OnlineWrapper
+    from cotracker_tpu.datasets.tap_vid import TapVidDataset
+
+    os.makedirs(cfg.exp_dir, exist_ok=True)
+    with open(os.path.join(cfg.exp_dir, "expconfig.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+    model, params = build_cotracker(
+        cfg.checkpoint, offline=cfg.offline_model, window_len=cfg.window_len
+    )
+
+    if cfg.offline_model:
+        predictor = EvaluationPredictor(
+            model,
+            params,
+            grid_size=cfg.grid_size,
+            local_grid_size=cfg.local_grid_size,
+            single_point=cfg.single_point,
+            sift_size=cfg.sift_size,
+            num_uniformly_sampled_pts=cfg.num_uniformly_sampled_pts,
+            n_iters=cfg.n_iters,
+            local_extent=cfg.local_extent,
+        )
+    else:
+        from cotracker_tpu.predictor import CoTrackerOnlinePredictor
+
+        online = CoTrackerOnlinePredictor(cfg.checkpoint, window_len=cfg.window_len)
+        predictor = OnlineWrapper(online)
+
+    name = cfg.dataset_name
+    queried_first = "strided" not in name
+    if "tapvid" in name:
+        dataset_type = name.split("_")[1]
+        dataset = TapVidDataset(
+            data_root=cfg.dataset_root,
+            dataset_type=dataset_type,
+            queried_first=queried_first,
+            fast_eval=cfg.fast_eval,
+        )
+    elif name == "dynamic_replica":
+        from cotracker_tpu.datasets.dynamic_replica import DynamicReplicaDataset
+
+        dataset = DynamicReplicaDataset(
+            root=cfg.dataset_root, sample_len=300, only_first_n_samples=1
+        )
+    else:
+        raise ValueError(f"unknown dataset {name}")
+
+    evaluator = Evaluator(cfg.exp_dir)
+    t0 = time.time()
+    metrics = evaluator.evaluate_sequence(predictor, dataset, dataset_name=name)
+    dt = time.time() - t0
+
+    result = {"avg": metrics.get("avg", {}), "time": dt}
+    print(f"Dataset: {name}")
+    print(f"Metrics: {result['avg']}")
+    print(f"Evaluation took {dt:.1f} seconds")
+    with open(os.path.join(cfg.exp_dir, f"result_eval_.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    return metrics
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    for f in dataclasses.fields(DefaultConfig):
+        t = f.type if f.type != Optional[str] else str
+        if t is bool or f.default in (True, False):
+            p.add_argument(f"--{f.name}", action="store_true" if not f.default else "store_false")
+        else:
+            p.add_argument(f"--{f.name}", type=type(f.default) if f.default is not None else str, default=f.default)
+    args = p.parse_args()
+    run_eval(DefaultConfig(**vars(args)))
+
+
+if __name__ == "__main__":
+    main()

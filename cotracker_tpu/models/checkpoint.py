@@ -89,12 +89,12 @@ def import_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
                 # norm1/norm2/norm3: InstanceNorm2d, paramless in reference configs
             continue
 
-        # ---------------- corr mlp ----------------
+        # ---------------- corr mlp (flat names under the fused featurizer) ----
         if parts[0] == "corr_mlp":
             kind = "kernel" if parts[2] == "weight" else "bias"
             _set(
                 params,
-                ("corr_mlp", parts[1], kind),
+                ("corr_mlp", f"{parts[1]}_{kind}"),
                 _linear(val) if kind == "kernel" else _vec(val),
             )
             continue

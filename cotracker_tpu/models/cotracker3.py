@@ -28,13 +28,14 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from cotracker_tpu.models.blocks import BasicEncoder, Mlp
+from cotracker_tpu.models.blocks import BasicEncoder
 from cotracker_tpu.models.updateformer import EfficientUpdateFormer
 from cotracker_tpu.ops.bilinear import (
     bilinear_sample,
     sample_features_3d,
     resize_linear_1d,
 )
+from cotracker_tpu.ops.corr import fused_corr_embs
 from cotracker_tpu.ops.embeddings import get_1d_sincos_pos_embed, posenc
 
 
@@ -86,6 +87,32 @@ def get_track_feat(fmaps, queried_frames, queried_coords, radius: int):
     return center, support
 
 
+class CorrFeaturizer(nn.Module):
+    """Owns the correlation-embedding MLP params and runs the fused
+    window-gather correlation op (ops/corr.py). Named "corr_mlp" in the param
+    tree for checkpoint compatibility with the reference's corr_mlp
+    (cotracker3_online.py:84)."""
+
+    radius: int = 3
+    hidden: int = 384
+    out: int = 256
+    chunk: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, fmaps, support, coords):
+        P = 2 * self.radius + 1
+        d = P * P * P * P
+        w1 = self.param("fc1_kernel", nn.initializers.xavier_uniform(), (d, self.hidden))
+        b1 = self.param("fc1_bias", nn.initializers.zeros_init(), (self.hidden,))
+        w2 = self.param("fc2_kernel", nn.initializers.xavier_uniform(), (self.hidden, self.out))
+        b2 = self.param("fc2_bias", nn.initializers.zeros_init(), (self.out,))
+        return fused_corr_embs(
+            fmaps, support, coords, w1, b1, w2, b2,
+            radius=self.radius, chunk=self.chunk, compute_dtype=self.dtype,
+        )
+
+
 class OnlineState(NamedTuple):
     """Explicit streaming-tracker carry (replaces reference module attributes,
     cotracker3_online.py:163-169). All buffers are fixed-capacity."""
@@ -131,8 +158,9 @@ class CoTrackerThree(nn.Module):
             add_space_attn=self.add_space_attn,
             linear_layer_for_vis_conf=self.linear_layer_for_vis_conf,
         )
-        P = 2 * self.corr_radius + 1
-        self.corr_mlp = Mlp(hidden_features=384, out_features=256, name="corr_mlp")
+        self.corr_mlp = CorrFeaturizer(
+            radius=self.corr_radius, chunk=self.corr_chunk, dtype=self.dtype, name="corr_mlp"
+        )
         # Deterministic sincos time embedding over the trained window length
         # (reference registers it as a buffer, cotracker3_online.py:86-92).
         grid = np.linspace(0, self.window_len - 1, self.window_len)
@@ -180,24 +208,9 @@ class CoTrackerThree(nn.Module):
         this level's units. Returns (B, T, N, 256).
         Mirrors the reference hot loop (cotracker3_online.py:192-207).
         """
-        B, T = fmaps.shape[:2]
-        N = coords.shape[2]
-        P = 2 * self.corr_radius + 1
-        sup_full = support.reshape(B, P, P, N, self.latent_dim).transpose(0, 3, 1, 2, 4)
-
-        chunk = self.corr_chunk if (self.corr_chunk and N % self.corr_chunk == 0) else N
-        outs = []
-        for s in range(0, N, chunk):
-            patches = sample_patch_features(
-                fmaps, coords[:, :, s : s + chunk], self.corr_radius
-            )  # (B,T,chunk,P,P,C)
-            sup = sup_full[:, s : s + chunk]
-            corr = jnp.einsum(
-                "btnhwc,bnijc->btnhwij", patches, sup, preferred_element_type=jnp.float32
-            ).astype(self.dtype)
-            corr = corr.reshape(B, T, chunk, P * P * P * P)
-            outs.append(self.corr_mlp(corr))
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+        # support comes in as (B, P*P, N, C); the fused op wants (B, N, P*P, C)
+        sup = support.transpose(0, 2, 1, 3)
+        return self.corr_mlp(fmaps, sup, coords)
 
     # ---------------------------------------------------------------- updates
 

@@ -1,0 +1,146 @@
+"""Fused local-correlation featurizer — the tracker's hot op.
+
+Computes, for every (frame t, track n): a (2r+1)^2 x (2r+1)^2 local 4D
+correlation volume between a bilinearly-sampled feature patch at the current
+coordinate estimate and the track's support patch, followed by the
+2401->384->256 embedding MLP. Equivalent to the reference hot loop
+(cotracker3_online.py:192-207: grid_sample patches -> einsum
+btnhwc,bnijc->btnhwij -> corr_mlp), but restructured for TPU:
+
+  * one 8x8 *window* of feature rows is gathered per point (64 rows) instead
+    of 4 taps x 49 patch positions (196 rows): 3x less HBM gather traffic;
+  * the bilinear combine happens in correlation space AFTER the
+    window x support contraction, so the (T, N, 49, C) patch tensor is never
+    materialized;
+  * border handling reproduces grid_sample's border padding exactly: per-tap
+    positions are clipped before weights are computed, expressed as
+    elementwise select-matrices (Sx, Sy) — no data-dependent control flow;
+  * the MLP is applied per chunk inside the same lax.map body, so transients
+    are bounded by the chunk size and the chunk loop compiles once.
+
+Derivation of exactness: for tap i (offset i-r along x), torch computes
+p_i = clip(x + i - r, 0, W-1), x0 = floor(p_i), w = p_i - x0, and reads
+(1-w) * F[x0] + w * F[min(x0+1, W-1)]. All needed rows lie in the 8-row
+window starting at sx = clip(floor(clip(x - r, 0, W-1)), 0, W-8), so
+S_x[i, b] = (1-w_i)[b == x0_i - sx] + w_i[b == xhi_i - sx] reconstructs the
+tap exactly (and the y axis separably).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+
+def _axis_selects(coord, radius: int, size: int):
+    """Per-tap bilinear select matrix for one axis.
+
+    coord: (...,) float positions (align_corners pixel units).
+    Returns (window_start (...,) int32, S (..., P, P+1) float32) with
+    S[..., i, b] the weight of window column b for tap i.
+    """
+    P = 2 * radius + 1
+    W = P + 1  # window size (8 for radius 3)
+    lo = jnp.clip(jnp.floor(jnp.clip(coord - radius, 0.0, size - 1.0)), 0.0, max(size - W, 0))
+    start = lo.astype(jnp.int32)
+
+    taps = jnp.arange(P, dtype=F32)  # (P,)
+    p = jnp.clip(coord[..., None] + (taps - radius), 0.0, size - 1.0)  # (..., P)
+    x0 = jnp.floor(p)
+    w = (p - x0)[..., None]  # (..., P, 1)
+    klo = (x0 - lo[..., None]).astype(jnp.int32)[..., None]  # (..., P, 1)
+    khi = (jnp.minimum(x0 + 1, size - 1) - lo[..., None]).astype(jnp.int32)[..., None]
+
+    cols = jnp.arange(W, dtype=jnp.int32)  # (W,)
+    S = (1.0 - w) * (cols == klo) + w * (cols == khi)  # (..., P, W)
+    return start, S.astype(F32)
+
+
+def fused_corr_embs(
+    fmaps,
+    support,
+    coords,
+    w1,
+    b1,
+    w2,
+    b2,
+    radius: int = 3,
+    chunk: Optional[int] = None,
+    compute_dtype=jnp.float32,
+):
+    """fmaps (B, T, H, W, C); support (B, N, P*P, C) (flattened x-major);
+    coords (B, T, N, 2) as (x, y) in this level's pixel units; MLP params
+    w1 (P^4, Dh), b1 (Dh), w2 (Dh, Do), b2 (Do).
+
+    Returns (B, T, N, Do) correlation embeddings.
+    """
+    B, T, H, W, C = fmaps.shape
+    N = coords.shape[2]
+    P = 2 * radius + 1
+    WIN = P + 1
+
+    # Maps smaller than the sampling window (high pyramid levels) are
+    # edge-padded; exact under border-clamp semantics because the select
+    # matrices never index beyond the original extent.
+    Hp, Wp = max(H, WIN), max(W, WIN)
+    if (Hp, Wp) != (H, W):
+        fmaps = jnp.pad(fmaps, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+
+    fmaps_flat = fmaps.reshape(B, T, Hp * Wp, C)
+
+    def compute(coords_c, support_c):
+        # coords_c (B, T, n, 2); support_c (B, n, P*P, C)
+        n = coords_c.shape[2]
+        x = jnp.clip(coords_c[..., 0].astype(F32), -1e6, 1e6)
+        y = jnp.clip(coords_c[..., 1].astype(F32), -1e6, 1e6)
+        sx, Sx = _axis_selects(x, radius, W)  # (B,T,n), (B,T,n,P,WIN)
+        sy, Sy = _axis_selects(y, radius, H)
+
+        a = jnp.arange(WIN, dtype=jnp.int32)
+        rows = sy[..., None] + a  # (B,T,n,WIN) absolute y rows
+        cols = sx[..., None] + a  # (B,T,n,WIN) absolute x cols
+        idx = rows[..., :, None] * Wp + cols[..., None, :]  # (B,T,n,WIN,WIN) [a=y, b=x]
+
+        # windows: (B, T, n, WIN, WIN, C)
+        win = jax.vmap(jax.vmap(lambda f, i: jnp.take(f, i, axis=0)))(
+            fmaps_flat, idx.reshape(B, T, n * WIN * WIN)
+        ).reshape(B, T, n, WIN, WIN, C)
+
+        sup = support_c.astype(compute_dtype)  # (B, n, P*P, C)
+        # raw window-vs-support correlation: (B, T, n, WIN(a), WIN(b), P*P(s))
+        g0 = jnp.einsum(
+            "btnuvc,bnsc->btnuvs", win.astype(compute_dtype), sup,
+            preferred_element_type=F32,
+        ).astype(compute_dtype)
+        # bilinear combine in correlation space (y then x)
+        t1 = jnp.einsum("btnju,btnuvs->btnjvs", Sy.astype(compute_dtype), g0,
+                        preferred_element_type=F32).astype(compute_dtype)
+        corr = jnp.einsum("btniv,btnjvs->btnijs", Sx.astype(compute_dtype), t1,
+                          preferred_element_type=F32).astype(compute_dtype)
+        # flatten (i, j, s) -> i*P*P*P + j*P*P + s : x-major patch axis first,
+        # matching the reference corr_volume.reshape(..., r*r*r*r) order
+        corr = corr.reshape(B, T, n, P * P * P * P)
+
+        h = jnp.einsum("btnd,dk->btnk", corr, w1.astype(compute_dtype),
+                       preferred_element_type=F32).astype(compute_dtype) + b1.astype(compute_dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        out = jnp.einsum("btnk,ko->btno", h, w2.astype(compute_dtype),
+                         preferred_element_type=F32).astype(compute_dtype) + b2.astype(compute_dtype)
+        return out
+
+    if chunk is None or chunk >= N:
+        return compute(coords, support)
+
+    K = -(-N // chunk)
+    pad = K * chunk - N
+    if pad:
+        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        support = jnp.pad(support, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    coords_r = coords.reshape(B, T, K, chunk, 2).transpose(2, 0, 1, 3, 4)
+    support_r = support.reshape(B, K, chunk, P * P, C).transpose(1, 0, 2, 3, 4)
+    out = jax.lax.map(lambda args: compute(*args), (coords_r, support_r))
+    # (K, B, T, chunk, Do) -> (B, T, N_padded, Do) -> trim
+    out = out.transpose(1, 2, 0, 3, 4).reshape(B, T, K * chunk, -1)
+    return out[:, :, :N]

@@ -1,0 +1,133 @@
+"""Evaluation-layer parity: TAP-Vid metrics vs reference, dataset readers on
+synthetic pickles, evaluation-predictor protocol, end-to-end evaluator run."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+torch = pytest.importorskip("torch")
+
+from cotracker_tpu.evaluation.eval_utils import compute_tapvid_metrics  # noqa: E402
+from cotracker_tpu.datasets.tap_vid import TapVidDataset  # noqa: E402
+
+
+def _random_case(rng, B=1, N=13, T=9, mode="first"):
+    qf = rng.integers(0, T, (B, N)).astype(np.float64)
+    query_points = np.stack([qf, rng.random((B, N)) * 255, rng.random((B, N)) * 255], axis=-1)
+    gt_occ = rng.random((B, N, T)) > 0.7
+    # ensure the query frame itself is visible for 'first' realism
+    for b in range(B):
+        for n in range(N):
+            gt_occ[b, n, int(qf[b, n])] = False
+    gt_tracks = rng.random((B, N, T, 2)) * 255
+    pred_occ = rng.random((B, N, T)) > 0.6
+    pred_tracks = gt_tracks + rng.normal(0, 4, gt_tracks.shape)
+    return query_points, gt_occ, gt_tracks, pred_occ, pred_tracks
+
+
+@requires_reference
+class TestTapVidMetrics:
+    @pytest.mark.parametrize("mode", ["first", "strided"])
+    def test_matches_reference(self, mode):
+        from cotracker.evaluation.core.eval_utils import (
+            compute_tapvid_metrics as ref_metrics,
+        )
+
+        rng = np.random.default_rng(0)
+        for trial in range(3):
+            args = _random_case(rng, mode=mode)
+            ours = compute_tapvid_metrics(*args, query_mode=mode)
+            ref = ref_metrics(*args, query_mode=mode)
+            assert set(ours.keys()) == set(ref.keys())
+            for k in ref:
+                np.testing.assert_allclose(ours[k], ref[k], rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+@requires_reference
+class TestTapVidDataset:
+    def _synthetic_davis_pickle(self, tmp_path):
+        rng = np.random.default_rng(1)
+        data = {}
+        for name in ["seq_a", "seq_b"]:
+            T, H, W, N = 12, 32, 48, 7
+            data[name] = {
+                "video": (rng.random((T, H, W, 3)) * 255).astype(np.uint8),
+                "points": rng.random((N, T, 2)).astype(np.float32),
+                "occluded": (rng.random((N, T)) > 0.6),
+            }
+        # make sure every track is visible somewhere
+        for name in data:
+            data[name]["occluded"][:, 0] = False
+        p = os.path.join(tmp_path, "davis.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(data, f)
+        return p
+
+    @pytest.mark.parametrize("queried_first", [True, False])
+    def test_matches_reference_reader(self, tmp_path, queried_first):
+        # the reference imports mediapy (unavailable); give it a stub whose
+        # resize_video matches ours (cv2 bilinear)
+        import sys, types
+        from cotracker_tpu.datasets.tap_vid import resize_video
+
+        if "mediapy" not in sys.modules:
+            stub = types.ModuleType("mediapy")
+            stub.resize_video = lambda v, s: resize_video(v, s)
+            sys.modules["mediapy"] = stub
+
+        from cotracker.datasets.tap_vid_datasets import TapVidDataset as RefDS
+        import cotracker.datasets.tap_vid_datasets as ref_mod
+
+        p = self._synthetic_davis_pickle(tmp_path)
+        ref_mod.resize_video = lambda v, s: resize_video(v, s)
+
+        ref_ds = RefDS(data_root=p, dataset_type="davis", queried_first=queried_first)
+        ds = TapVidDataset(data_root=p, dataset_type="davis", queried_first=queried_first)
+        assert len(ds) == len(ref_ds)
+        for i in range(len(ds)):
+            ref_s = ref_ds[i]
+            s = ds[i]
+            np.testing.assert_allclose(s.video, ref_s.video.numpy(), atol=1e-4)
+            np.testing.assert_allclose(s.trajectory, ref_s.trajectory.numpy(), atol=1e-4)
+            np.testing.assert_array_equal(s.visibility, ref_s.visibility.numpy())
+            np.testing.assert_allclose(s.query_points, ref_s.query_points.numpy(), atol=1e-4)
+
+
+class TestEvaluatorEndToEnd:
+    def test_eval_with_tiny_model(self, tmp_path):
+        """Full loop: synthetic DAVIS pickle -> dataset -> EvaluationPredictor
+        (tiny random model) -> evaluator -> finite metrics."""
+        import jax.numpy as jnp
+        from cotracker_tpu.models.cotracker3 import CoTrackerThree
+        from cotracker_tpu.models.build import init_params
+        from cotracker_tpu.evaluation.evaluation_predictor import EvaluationPredictor
+        from cotracker_tpu.evaluation.evaluator import Evaluator
+
+        rng = np.random.default_rng(2)
+        data = {
+            "seq": {
+                "video": (rng.random((8, 40, 40, 3)) * 255).astype(np.uint8),
+                "points": rng.random((5, 8, 2)).astype(np.float32),
+                "occluded": np.zeros((5, 8), bool),
+            }
+        }
+        p = os.path.join(tmp_path, "davis.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(data, f)
+
+        ds = TapVidDataset(data_root=p, dataset_type="davis", resize_to=(32, 32))
+        model = CoTrackerThree(window_len=8, model_resolution=(32, 48))
+        params = init_params(model)
+        pred = EvaluationPredictor(
+            model, params, interp_shape=(32, 48), grid_size=2, single_point=False, n_iters=2
+        )
+        ev = Evaluator()
+        metrics = ev.evaluate_sequence(pred, ds, "tapvid_davis_first", verbose=False)
+        avg = metrics["avg"]
+        assert "average_jaccard" in avg and "average_pts_within_thresh" in avg
+        for v in avg.values():
+            assert np.isfinite(v)
