@@ -89,12 +89,13 @@ def import_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
                 # norm1/norm2/norm3: InstanceNorm2d, paramless in reference configs
             continue
 
-        # ---------------- corr mlp (flat names under the fused featurizer) ----
+        # ---------------- corr mlp (flat names under the fused featurizer,
+        # inside the scanned iteration core) ----
         if parts[0] == "corr_mlp":
             kind = "kernel" if parts[2] == "weight" else "bias"
             _set(
                 params,
-                ("corr_mlp", f"{parts[1]}_{kind}"),
+                ("iter_core", "corr_mlp", f"{parts[1]}_{kind}"),
                 _linear(val) if kind == "kernel" else _vec(val),
             )
             continue
@@ -103,13 +104,13 @@ def import_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         if parts[0] == "updateformer":
             rest = parts[1:]
             if rest[0] == "virual_tracks":
-                _set(params, ("updateformer", "virtual_tracks"), _vec(val))
+                _set(params, ("iter_core", "updateformer", "virtual_tracks"), _vec(val))
                 continue
             if rest[0] in ("input_transform", "flow_head", "vis_conf_head"):
                 kind = "kernel" if rest[1] == "weight" else "bias"
                 _set(
                     params,
-                    ("updateformer", rest[0], kind),
+                    ("iter_core", "updateformer", rest[0], kind),
                     _linear(val) if kind == "kernel" else _vec(val),
                 )
                 continue
@@ -125,7 +126,7 @@ def import_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
                     kind = "kernel" if rest[4] == "weight" else "bias"
                     _set(
                         params,
-                        ("updateformer", block, sub, proj, kind),
+                        ("iter_core", "updateformer", block, sub, proj, kind),
                         _linear(val) if kind == "kernel" else _vec(val),
                     )
                 elif sub == "mlp":
@@ -133,12 +134,12 @@ def import_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
                     kind = "kernel" if rest[4] == "weight" else "bias"
                     _set(
                         params,
-                        ("updateformer", block, "mlp", fc, kind),
+                        ("iter_core", "updateformer", block, "mlp", fc, kind),
                         _linear(val) if kind == "kernel" else _vec(val),
                     )
                 elif sub == "norm_context":
                     kind = "scale" if rest[3] == "weight" else "bias"
-                    _set(params, ("updateformer", block, "norm_context", kind), _vec(val))
+                    _set(params, ("iter_core", "updateformer", block, "norm_context", kind), _vec(val))
                 continue
 
     return params

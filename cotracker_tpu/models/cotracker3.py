@@ -113,6 +113,93 @@ class CorrFeaturizer(nn.Module):
         )
 
 
+class IterationCore(nn.Module):
+    """One transformer update iteration (correlation featurization + input
+    build + updateformer + additive update). Scanned over iterations with
+    nn.scan so the graph compiles once regardless of `iters`.
+
+    Owns the iteration parameters: "corr_mlp" and "updateformer" submodules.
+    Mirrors one step of the reference `forward_window` loop
+    (cotracker3_online.py:187-263), including the unconditional coords detach
+    (:188) — gradients reach iteration k's coords only through its delta.
+    """
+
+    corr_radius: int = 3
+    corr_levels: int = 4
+    num_virtual_tracks: int = 64
+    model_resolution: Tuple[int, int] = (384, 512)
+    stride: int = 4
+    latent_dim: int = 128
+    input_dim: int = 1110
+    add_space_attn: bool = True
+    linear_layer_for_vis_conf: bool = True
+    corr_chunk: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.corr_mlp = CorrFeaturizer(
+            radius=self.corr_radius, chunk=self.corr_chunk, dtype=self.dtype, name="corr_mlp"
+        )
+        self.updateformer = EfficientUpdateFormer(
+            space_depth=3,
+            time_depth=3,
+            input_dim=self.input_dim,
+            hidden_size=384,
+            num_heads=8,
+            output_dim=4,
+            mlp_ratio=4.0,
+            num_virtual_tracks=self.num_virtual_tracks,
+            add_space_attn=self.add_space_attn,
+            linear_layer_for_vis_conf=self.linear_layer_for_vis_conf,
+            name="updateformer",
+        )
+
+    def __call__(self, carry, _, fmaps_pyramid, support_pyramid, track_mask, time_emb):
+        coords, vis, conf = carry
+        coords = jax.lax.stop_gradient(coords)
+        B, T, N, _ = coords.shape
+        scale = (
+            jnp.asarray([self.model_resolution[1], self.model_resolution[0]], jnp.float32)
+            / self.stride
+        )
+
+        corr_embs = []
+        for i in range(self.corr_levels):
+            # support comes in as (B, P*P, N, C); the fused op wants (B, N, P*P, C)
+            sup = support_pyramid[i].transpose(0, 2, 1, 3)
+            corr_embs.append(
+                self.corr_mlp(fmaps_pyramid[i], sup, coords.astype(self.dtype) / 2**i)
+            )
+        corr_embs = jnp.concatenate(corr_embs, axis=-1)  # (B, T, N, 1024)
+
+        rel_fwd = jnp.pad(coords[:, :-1] - coords[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        rel_bwd = jnp.pad(coords[:, 1:] - coords[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        rel = jnp.concatenate([rel_fwd / scale, rel_bwd / scale], axis=-1)
+        rel_emb = posenc(rel, min_deg=0, max_deg=10)  # (B, T, N, 84)
+
+        x = jnp.concatenate(
+            [
+                vis[..., None].astype(self.dtype),
+                conf[..., None].astype(self.dtype),
+                corr_embs,
+                rel_emb.astype(self.dtype),
+            ],
+            axis=-1,
+        )  # (B, T, N, 1110)
+        x = x + time_emb[:, :, None, :].astype(self.dtype)
+        x = x.transpose(0, 2, 1, 3)  # (B, N, T, D)
+
+        delta = self.updateformer(
+            x, track_mask=track_mask, add_space_attn=self.add_space_attn
+        ).astype(jnp.float32)
+        delta = delta.transpose(0, 2, 1, 3)  # (B, T, N, 4)
+
+        coords = coords + delta[..., :2]
+        vis = vis + delta[..., 2]
+        conf = conf + delta[..., 3]
+        return (coords, vis, conf), (coords * float(self.stride), vis, conf)
+
+
 class OnlineState(NamedTuple):
     """Explicit streaming-tracker carry (replaces reference module attributes,
     cotracker3_online.py:163-169). All buffers are fixed-capacity."""
@@ -146,20 +233,27 @@ class CoTrackerThree(nn.Module):
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride)
-        self.updateformer = EfficientUpdateFormer(
-            space_depth=3,
-            time_depth=3,
-            input_dim=self.input_dim,
-            hidden_size=384,
-            num_heads=8,
-            output_dim=4,
-            mlp_ratio=4.0,
+        # the per-iteration core is lifted with nn.scan: params broadcast
+        # across iterations, one compiled iteration body regardless of iters
+        self.iter_core = nn.scan(
+            IterationCore,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+        )(
+            corr_radius=self.corr_radius,
+            corr_levels=self.corr_levels,
             num_virtual_tracks=self.num_virtual_tracks,
+            model_resolution=self.model_resolution,
+            stride=self.stride,
+            latent_dim=self.latent_dim,
+            input_dim=self.input_dim,
             add_space_attn=self.add_space_attn,
             linear_layer_for_vis_conf=self.linear_layer_for_vis_conf,
-        )
-        self.corr_mlp = CorrFeaturizer(
-            radius=self.corr_radius, chunk=self.corr_chunk, dtype=self.dtype, name="corr_mlp"
+            corr_chunk=self.corr_chunk,
+            dtype=self.dtype,
+            name="iter_core",
         )
         # Deterministic sincos time embedding over the trained window length
         # (reference registers it as a buffer, cotracker3_online.py:86-92).
@@ -201,17 +295,6 @@ class CoTrackerThree(nn.Module):
             supports.append(s)
         return feats, supports
 
-    def corr_embs_level(self, fmaps, support, coords):
-        """One level of local 4D correlation + MLP embedding.
-
-        fmaps (B, T, H, W, C); support (B, P*P, N, C); coords (B, T, N, 2) in
-        this level's units. Returns (B, T, N, 256).
-        Mirrors the reference hot loop (cotracker3_online.py:192-207).
-        """
-        # support comes in as (B, P*P, N, C); the fused op wants (B, N, P*P, C)
-        sup = support.transpose(0, 2, 1, 3)
-        return self.corr_mlp(fmaps, sup, coords)
-
     # ---------------------------------------------------------------- updates
 
     def iterate(
@@ -224,9 +307,10 @@ class CoTrackerThree(nn.Module):
         iters: int,
         track_mask: Optional[jnp.ndarray] = None,
         add_space_attn: bool = True,
-        stop_grad_between_iters: bool = True,
+        stop_grad_between_iters: bool = True,  # kept for API compat; the core
+        # always detaches coords, exactly like the reference (:188)
     ):
-        """Run `iters` transformer updates over one window.
+        """Run `iters` transformer updates over one window via nn.scan.
 
         coords (B, T, N, 2) f32 in fmap (stride) units; vis/conf (B, T, N) f32
         logits. Returns per-iteration stacked predictions:
@@ -234,70 +318,22 @@ class CoTrackerThree(nn.Module):
           vis_preds / conf_preds (iters, B, T, N) logits.
         Mirrors reference `forward_window` (cotracker3_online.py:171-264).
         """
-        B, T = fmaps_pyramid[0].shape[:2]
-        N = coords.shape[2]
-        scale = (
-            jnp.asarray(
-                [self.model_resolution[1], self.model_resolution[0]], jnp.float32
-            )
-            / self.stride
+        del stop_grad_between_iters
+        assert add_space_attn == self.add_space_attn, (
+            "per-call add_space_attn override is not supported by the scanned "
+            "iteration core; configure the model with add_space_attn instead"
         )
-
-        coord_preds, vis_preds, conf_preds = [], [], []
-        for _ in range(iters):
-            if stop_grad_between_iters:
-                coords = jax.lax.stop_gradient(coords)
-
-            corr_embs = []
-            for i in range(self.corr_levels):
-                corr_embs.append(
-                    self.corr_embs_level(
-                        fmaps_pyramid[i],
-                        track_support_pyramid[i],
-                        coords.astype(self.dtype) / 2**i,
-                    )
-                )
-            corr_embs = jnp.concatenate(corr_embs, axis=-1)  # (B, T, N, 1024)
-
-            rel_fwd = coords[:, :-1] - coords[:, 1:]
-            rel_bwd = coords[:, 1:] - coords[:, :-1]
-            rel_fwd = jnp.pad(rel_fwd, ((0, 0), (0, 1), (0, 0), (0, 0)))
-            rel_bwd = jnp.pad(rel_bwd, ((0, 0), (1, 0), (0, 0), (0, 0)))
-            rel = jnp.concatenate([rel_fwd / scale, rel_bwd / scale], axis=-1)
-            rel_emb = posenc(rel, min_deg=0, max_deg=10)  # (B, T, N, 84)
-
-            x = jnp.concatenate(
-                [
-                    vis[..., None].astype(self.dtype),
-                    conf[..., None].astype(self.dtype),
-                    corr_embs,
-                    rel_emb.astype(self.dtype),
-                ],
-                axis=-1,
-            )  # (B, T, N, 1110)
-
-            time_emb = self.interpolate_time_embed(T).astype(self.dtype)  # (1, T, D)
-            x = x + time_emb[:, :, None, :]
-            x = x.transpose(0, 2, 1, 3)  # (B, N, T, D)
-
-            delta = self.updateformer(
-                x, track_mask=track_mask, add_space_attn=add_space_attn
-            ).astype(jnp.float32)  # (B, N, T, 4)
-            delta = delta.transpose(0, 2, 1, 3)  # (B, T, N, 4)
-
-            coords = coords + delta[..., :2]
-            vis = vis + delta[..., 2]
-            conf = conf + delta[..., 3]
-
-            coord_preds.append(coords * float(self.stride))
-            vis_preds.append(vis)
-            conf_preds.append(conf)
-
-        return (
-            jnp.stack(coord_preds),
-            jnp.stack(vis_preds),
-            jnp.stack(conf_preds),
+        T = fmaps_pyramid[0].shape[1]
+        time_emb = self.interpolate_time_embed(T)
+        _, ys = self.iter_core(
+            (coords, vis, conf),
+            jnp.zeros((iters,), jnp.int32),  # drives scan length
+            tuple(fmaps_pyramid),
+            tuple(track_support_pyramid),
+            track_mask,
+            time_emb,
         )
+        return ys
 
     def interpolate_time_embed(self, t: int):
         """(1, t, input_dim) time embedding; linearly interpolated when t

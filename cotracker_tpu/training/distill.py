@@ -1,0 +1,170 @@
+"""Pseudo-label distillation on real videos (reference train_on_real_data.py).
+
+Recipe (reference forward_batch :75-228, Lite.run :289-636):
+  * queries: SIFT keypoints from the first 25% of frames, uniform-random
+    fallback when SIFT yields too few (:85-102);
+  * a teacher is picked uniformly at random per batch from an ensemble of
+    frozen trackers (:106-108); teacher runs with extra support points
+    (global grid / SIFT / uniform) that are stripped from its output
+    (:109-152);
+  * pseudo-GT = teacher tracks; visibility = teacher vis > 0.9 (:154);
+  * student trains with Huber(delta=6) sequence loss x0.05 on visible points
+    (+ L1 x0.01 on invisible) and NO visibility/confidence loss — the
+    vis_conf_head stays frozen (:57-59, :587 grad clip 10).
+"""
+
+from typing import Callable, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from cotracker_tpu.training.losses import sequence_loss
+
+
+class DistillConfig(NamedTuple):
+    iters: int = 4
+    flow_weight: float = 0.05
+    invisible_flow_weight: float = 0.01
+    teacher_vis_threshold: float = 0.9
+    lr: float = 5e-5
+    wdecay: float = 1e-5
+    num_steps: int = 15000
+    grad_clip: float = 10.0
+    sift_size: int = 384
+    restart_from: Optional[str] = None
+
+
+def sample_distill_queries(video_np, num_queries: int, rng: np.random.Generator):
+    """SIFT queries with uniform fallback (reference :85-102).
+
+    video_np: (1, T, 3, H, W) uint8-ish numpy. Returns (1, num_queries, 3).
+    """
+    from cotracker_tpu.ops.samplers import get_sift_sampled_pts, get_uniformly_sampled_pts
+
+    T, H, W = video_np.shape[1], video_np.shape[3], video_np.shape[4]
+    vid_cl = video_np[0].transpose(0, 2, 3, 1)[None]
+    try:
+        q = np.asarray(get_sift_sampled_pts(vid_cl, num_queries, T, (H, W), rng=rng))
+    except Exception:
+        q = np.zeros((1, 0, 3), np.float32)
+    if q.shape[1] < num_queries:
+        extra = np.asarray(
+            get_uniformly_sampled_pts(num_queries - q.shape[1], T, (H, W), rng=rng)
+        )
+        q = np.concatenate([q, extra], axis=1)
+    return q.astype(np.float32)
+
+
+def make_distill_loss(model, cfg: DistillConfig):
+    """loss(params, video, queries, teacher_tracks, teacher_vis) for the
+    student. teacher_tracks (B, T, N, 2) in model pixels; teacher_vis (B,T,N)
+    booleans from the thresholded teacher."""
+
+    def loss_fn(params, video, queries, teacher_tracks, teacher_vis, track_mask=None):
+        _, _, _, train_data = model.apply(
+            {"params": params},
+            video,
+            queries,
+            iters=cfg.iters,
+            is_train=True,
+            track_mask=track_mask,
+        )
+        coord_preds, _, _, _ = train_data
+        valids = jnp.ones(teacher_vis.shape, jnp.float32)
+        if track_mask is not None:
+            valids = valids * track_mask[:, None, :].astype(jnp.float32)
+
+        flow = sequence_loss(
+            coord_preds,
+            teacher_tracks,
+            valids,
+            vis=teacher_vis.astype(jnp.float32),
+            gamma=0.8,
+            add_huber_loss=True,
+            loss_only_for_visible=True,
+        )
+        invis = sequence_loss(
+            coord_preds,
+            teacher_tracks,
+            valids,
+            vis=1.0 - teacher_vis.astype(jnp.float32),
+            gamma=0.8,
+            add_huber_loss=False,
+            loss_only_for_visible=True,
+        )
+        total = flow * cfg.flow_weight + invis * cfg.invisible_flow_weight
+        return total, {"flow_loss": flow * cfg.flow_weight, "invis_loss": invis * cfg.invisible_flow_weight, "total_loss": total}
+
+    return loss_fn
+
+
+def frozen_vis_conf_mask(params):
+    """Label pytree: True where params should train. The vis_conf_head is
+    frozen (reference :57-59)."""
+
+    def label(path, _):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        return "frozen" if "vis_conf_head" in keys else "trainable"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_distill_optimizer(params, cfg: DistillConfig):
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=cfg.num_steps + 100, peak_value=cfg.lr, pct_start=0.05
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.multi_transform(
+            {
+                "trainable": optax.adamw(schedule, eps=1e-8, weight_decay=cfg.wdecay),
+                "frozen": optax.set_to_zero(),
+            },
+            frozen_vis_conf_mask(params),
+        ),
+    )
+    return tx
+
+
+class TeacherEnsemble:
+    """Frozen teacher trackers for pseudo-labeling (reference :396-438 builds
+    [CoTracker2.1-online, CoTracker3-online, CoTracker3-offline, TAPIR]).
+
+    Each teacher is a callable (video (1,T,3,H,W), queries (1,N,3)) ->
+    (tracks, vis_probs). Support points are added and stripped around the
+    call, mirroring reference :109-152."""
+
+    def __init__(self, teachers: Sequence[Callable], support_grid_size: int = 5, seed: int = 0):
+        self.teachers = list(teachers)
+        self.support_grid_size = support_grid_size
+        self.rng = np.random.default_rng(seed)
+
+    def pseudo_label(self, video_np, queries_np, interp_shape=(384, 512)):
+        from cotracker_tpu.ops.samplers import get_points_on_a_grid
+
+        teacher = self.teachers[int(self.rng.integers(0, len(self.teachers)))]
+        n_user = queries_np.shape[1]
+        q = queries_np
+        if self.support_grid_size > 0:
+            H, W = video_np.shape[3], video_np.shape[4]
+            grid = np.asarray(get_points_on_a_grid(self.support_grid_size, (H, W)))
+            grid = np.concatenate([np.zeros_like(grid[:, :, :1]), grid], axis=2)
+            q = np.concatenate([q, grid.astype(np.float32)], axis=1)
+        tracks, vis = teacher(video_np, q)
+        return np.asarray(tracks)[:, :, :n_user], np.asarray(vis)[:, :, :n_user]
+
+
+def distill_step_fn(model, tx, cfg: DistillConfig):
+    loss_fn = make_distill_loss(model, cfg)
+
+    def step(params, opt_state, video, queries, teacher_tracks, teacher_vis, track_mask=None):
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            params, video, queries, teacher_tracks, teacher_vis, track_mask
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    return step

