@@ -89,8 +89,9 @@ def get_track_feat(fmaps, queried_frames, queried_coords, radius: int):
 
 class CorrFeaturizer(nn.Module):
     """Owns the correlation-embedding MLP params and runs the fused
-    window-gather correlation op (ops/corr.py). Named "corr_mlp" in the param
-    tree for checkpoint compatibility with the reference's corr_mlp
+    window-gather correlation op (ops/corr.py), or the Pallas kernel
+    (ops/kernels/corr_pallas.py) when use_pallas is set. Named "corr_mlp" in
+    the param tree for checkpoint compatibility with the reference's corr_mlp
     (cotracker3_online.py:84)."""
 
     radius: int = 3
@@ -98,6 +99,7 @@ class CorrFeaturizer(nn.Module):
     out: int = 256
     chunk: Optional[int] = None
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, fmaps, support, coords):
@@ -107,6 +109,13 @@ class CorrFeaturizer(nn.Module):
         b1 = self.param("fc1_bias", nn.initializers.zeros_init(), (self.hidden,))
         w2 = self.param("fc2_kernel", nn.initializers.xavier_uniform(), (self.hidden, self.out))
         b2 = self.param("fc2_bias", nn.initializers.zeros_init(), (self.out,))
+        if self.use_pallas:
+            from cotracker_tpu.ops.kernels.corr_pallas import fused_corr_embs_pallas
+
+            return fused_corr_embs_pallas(
+                fmaps, support, coords, w1, b1, w2, b2,
+                radius=self.radius, compute_dtype=self.dtype,
+            )
         return fused_corr_embs(
             fmaps, support, coords, w1, b1, w2, b2,
             radius=self.radius, chunk=self.chunk, compute_dtype=self.dtype,
@@ -135,10 +144,12 @@ class IterationCore(nn.Module):
     linear_layer_for_vis_conf: bool = True
     corr_chunk: Optional[int] = None
     dtype: Any = jnp.float32
+    use_pallas_corr: bool = False
 
     def setup(self):
         self.corr_mlp = CorrFeaturizer(
-            radius=self.corr_radius, chunk=self.corr_chunk, dtype=self.dtype, name="corr_mlp"
+            radius=self.corr_radius, chunk=self.corr_chunk, dtype=self.dtype,
+            use_pallas=self.use_pallas_corr, name="corr_mlp"
         )
         self.updateformer = EfficientUpdateFormer(
             space_depth=3,
@@ -230,6 +241,8 @@ class CoTrackerThree(nn.Module):
     # chunk size over N for the correlation featurizer (bounds the transient
     # (B,T,chunk,P,P,C) patch memory on-chip); None = no chunking
     corr_chunk: Optional[int] = None
+    # run the correlation featurizer as a Pallas TPU kernel
+    use_pallas_corr: bool = False
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride)
@@ -253,6 +266,7 @@ class CoTrackerThree(nn.Module):
             linear_layer_for_vis_conf=self.linear_layer_for_vis_conf,
             corr_chunk=self.corr_chunk,
             dtype=self.dtype,
+            use_pallas_corr=self.use_pallas_corr,
             name="iter_core",
         )
         # Deterministic sincos time embedding over the trained window length

@@ -1,0 +1,48 @@
+"""Pallas fused-correlation kernel parity (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cotracker_tpu.ops.corr import fused_corr_embs
+from cotracker_tpu.ops.kernels.corr_pallas import fused_corr_embs_pallas
+
+
+class TestPallasCorr:
+    def test_matches_xla_path(self):
+        rng = np.random.default_rng(0)
+        B, T, H, W, C, N = 1, 3, 16, 24, 128, 5
+        fm = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+        sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+        # include far out-of-range coords to exercise border clamping
+        coords = jnp.asarray(
+            (rng.random((B, T, N, 2)) * np.array([W + 6, H + 6]) - 3).astype(np.float32)
+        )
+        w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+        b1 = jnp.asarray(rng.standard_normal(384).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal(256).astype(np.float32) * 0.1)
+
+        ref = fused_corr_embs(fm, sup, coords, w1, b1, w2, b2, radius=3, compute_dtype=jnp.float32)
+        out = fused_corr_embs_pallas(
+            fm, sup, coords, w1, b1, w2, b2, radius=3, nb=8,
+            compute_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+    def test_tiny_level_edge_padding(self):
+        """Pyramid levels smaller than the sampling window must still be exact."""
+        rng = np.random.default_rng(1)
+        B, T, H, W, C, N = 1, 2, 3, 4, 128, 3
+        fm = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+        sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+        coords = jnp.asarray((rng.random((B, T, N, 2)) * 6 - 1).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+        b1 = jnp.zeros(384)
+        w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.05)
+        b2 = jnp.zeros(256)
+        ref = fused_corr_embs(fm, sup, coords, w1, b1, w2, b2, radius=3, compute_dtype=jnp.float32)
+        out = fused_corr_embs_pallas(
+            fm, sup, coords, w1, b1, w2, b2, radius=3, nb=8,
+            compute_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
