@@ -123,13 +123,14 @@ def _kernel(SyP_ref, SxP_ref, sup_ref, fmap_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         )  # (PP, PP): [i*P+j, s]
         acc_ref[pl.ds(p, 1)] = corr[None]
 
-    # 2-way unroll: two independent per-point chains give the scheduler ILP
+    # unrolled loop: independent per-point chains give the scheduler ILP
+    UNROLL = 4
     def body(q, _):
-        one_point(2 * q)
-        one_point(2 * q + 1)
+        for u in range(UNROLL):
+            one_point(UNROLL * q + u)
         return 0
 
-    jax.lax.fori_loop(0, nb // 2, body, 0)
+    jax.lax.fori_loop(0, nb // UNROLL, body, 0)
 
     # first MLP layer as PP slice-matmuls — Mosaic cannot shape-cast
     # (nb, PP, PP) -> (nb, PP*PP), so contract (j, s) pairwise instead:

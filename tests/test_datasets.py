@@ -1,0 +1,75 @@
+"""Dataset-layer tests on synthetic on-disk data: Kubric reader + augs,
+local real-video dataset, visualizer mp4 export."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from cotracker_tpu.datasets.kubric import KubricMovifDataset  # noqa: E402
+from cotracker_tpu.datasets.utils import collate_fn_train  # noqa: E402
+from cotracker_tpu.utils.visualizer import Visualizer  # noqa: E402
+
+
+def _make_kubric_dir(tmp_path, n_seqs=2, T=30, H=64, W=96, n_traj=256):
+    rng = np.random.default_rng(0)
+    for s in range(n_seqs):
+        name = f"seq{s:03d}"
+        d = os.path.join(tmp_path, name, "frames")
+        os.makedirs(d)
+        for t in range(T):
+            img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(d, f"{t:03d}.png"), img)
+        coords = (rng.random((n_traj, T, 2)) * [W - 1, H - 1]).astype(np.float32)
+        occluded = rng.random((n_traj, T)) > 0.9
+        np.save(
+            os.path.join(tmp_path, name, name + ".npy"),
+            {"coords": coords, "visibility": occluded},
+            allow_pickle=True,
+        )
+    return str(tmp_path)
+
+
+class TestKubricDataset:
+    @pytest.mark.parametrize("use_augs", [False, True])
+    def test_loads_and_shapes(self, tmp_path, use_augs):
+        root = _make_kubric_dir(tmp_path)
+        ds = KubricMovifDataset(
+            data_root=root,
+            crop_size=(48, 64),
+            seq_len=12,
+            traj_per_sample=16,
+            use_augs=use_augs,
+        )
+        assert len(ds) == 2
+        sample, gotit = ds[0]
+        assert gotit
+        assert sample.video.shape == (12, 3, 48, 64)
+        assert sample.trajectory.shape == (12, 16, 2)
+        assert sample.visibility.shape == (12, 16)
+        # every sampled track must be visible at first or mid frame
+        vis_first_or_mid = sample.visibility[0] + sample.visibility[6]
+        assert (vis_first_or_mid > 0).all()
+
+    def test_collate_train(self, tmp_path):
+        root = _make_kubric_dir(tmp_path)
+        ds = KubricMovifDataset(root, crop_size=(48, 64), seq_len=8, traj_per_sample=8)
+        batch, gotit = collate_fn_train([ds[0], ds[1]])
+        assert batch.video.shape[0] == 2
+        assert all(gotit)
+
+
+class TestVisualizer:
+    def test_mp4_export(self, tmp_path):
+        rng = np.random.default_rng(1)
+        T, H, W, N = 6, 48, 64, 5
+        video = (rng.random((1, T, 3, H, W)) * 255).astype(np.float32)
+        tracks = (rng.random((1, T, N, 2)) * [W - 1, H - 1]).astype(np.float32)
+        vis = rng.random((1, T, N)) > 0.3
+        v = Visualizer(save_dir=str(tmp_path), tracks_leave_trace=3)
+        frames = v.visualize(video, tracks, vis, filename="t")
+        assert frames.shape[-1] == 3
+        out = os.path.join(tmp_path, "t.mp4")
+        assert os.path.exists(out) and os.path.getsize(out) > 0
