@@ -9,7 +9,7 @@ yields fixed-length clips with the reference's sampling behaviors
 """
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

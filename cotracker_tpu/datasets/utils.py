@@ -7,7 +7,7 @@ boundary, not in the data layer.
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

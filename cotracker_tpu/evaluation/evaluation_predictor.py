@@ -9,8 +9,7 @@ Two modes over the raw model:
 Visibility is fused with confidence (vis * conf) before thresholding.
 """
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

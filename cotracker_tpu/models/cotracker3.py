@@ -12,15 +12,15 @@ cotracker3_online.py:42-541), re-designed for XLA:
   * channel-last fmaps (B, T, H, W, C); latent C=128 = one TPU lane tile;
   * coords/vis/conf carried in f32 across the iterative updates regardless of
     compute dtype;
-  * correlation features via a batched gather formulation with an optional
-    Pallas fused kernel (ops/kernels/) behind `corr_impl`.
+  * correlation features via the fused window-gather op (ops/corr.py) or
+    the Pallas kernel (ops/kernels/corr_pallas.py) behind `use_pallas_corr`;
+  * update iterations run under nn.scan (one compiled iteration body).
 
 Terminology matches the reference: "stride" is the fmap downsampling (4),
 "corr_radius" the local patch radius (3 -> 7x7 patches), "corr_levels" the
 pyramid depth (4).
 """
 
-import functools
 from typing import Any, NamedTuple, Optional, Tuple
 
 import numpy as np

@@ -13,7 +13,7 @@ Recipe (reference forward_batch :75-228, Lite.run :289-636):
     vis_conf_head stays frozen (:57-59, :587 grad clip 10).
 """
 
-from typing import Callable, List, NamedTuple, Optional, Sequence
+from typing import Callable, NamedTuple, Optional, Sequence
 
 import numpy as np
 import jax

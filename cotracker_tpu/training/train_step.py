@@ -5,7 +5,7 @@ The step is written to be pjit-sharded over a Mesh("data", "track"): batch on
 "data", tracks on "track", params replicated, gradients psum-reduced by XLA.
 """
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

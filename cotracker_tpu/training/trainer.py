@@ -13,7 +13,7 @@ import json
 import os
 import pickle
 import time
-from dataclasses import dataclass, asdict, field
+from dataclasses import dataclass, asdict
 from typing import Optional, Tuple
 
 import numpy as np

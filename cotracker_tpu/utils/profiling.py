@@ -7,7 +7,7 @@ The reference has no profiling beyond whole-run wall time
 
 import contextlib
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 

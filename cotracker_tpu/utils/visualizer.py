@@ -6,8 +6,6 @@ length, occlusion styling, mp4 export (cv2) and frame access for notebooks.
 """
 
 import os
-from typing import Optional
-
 import numpy as np
 
 
