@@ -124,7 +124,7 @@ def _kernel(SyP_ref, SxP_ref, sup_ref, fmap_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         acc_ref[pl.ds(p, 1)] = corr[None]
 
     # unrolled loop: independent per-point chains give the scheduler ILP
-    UNROLL = 8
+    UNROLL = 4
     def body(q, _):
         for u in range(UNROLL):
             one_point(UNROLL * q + u)
