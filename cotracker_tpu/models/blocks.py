@@ -12,7 +12,7 @@ Submodule names intentionally mirror the reference state_dict structure so
 the checkpoint importer (models/checkpoint.py) is a direct name mapping.
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,12 +45,13 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     approximate_gelu: bool = False
+    dtype: Any = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=self.approximate_gelu)
-        x = nn.Dense(self.out_features, name="fc2")(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -59,15 +60,16 @@ class ResidualBlock(nn.Module):
 
     planes: int
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, name="conv1")(x)
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(instance_norm(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(instance_norm(y))
         if self.stride != 1:
-            x = nn.Conv(self.planes, (1, 1), strides=self.stride, name="downsample")(x)
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride, dtype=self.dtype, name="downsample")(x)
             x = instance_norm(x)
         return nn.relu(x + y)
 
@@ -84,6 +86,7 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 128
     stride: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -92,12 +95,12 @@ class BasicEncoder(nn.Module):
         H, W = x.shape[-3], x.shape[-2]
         out_hw = (H // self.stride, W // self.stride)
 
-        x = nn.Conv(self.output_dim // 2, (7, 7), strides=2, padding=3, name="conv1")(x)
+        x = nn.Conv(self.output_dim // 2, (7, 7), strides=2, padding=3, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(instance_norm(x))
 
         def stage(name, planes, stride, h):
-            h = ResidualBlock(planes, stride=stride, name=f"{name}_0")(h)
-            h = ResidualBlock(planes, stride=1, name=f"{name}_1")(h)
+            h = ResidualBlock(planes, stride=stride, dtype=self.dtype, name=f"{name}_0")(h)
+            h = ResidualBlock(planes, stride=1, dtype=self.dtype, name=f"{name}_1")(h)
             return h
 
         a = stage("layer1", self.output_dim // 2, 1, x)
@@ -111,9 +114,9 @@ class BasicEncoder(nn.Module):
         d = resize_bilinear(d, out_hw, align_corners=True)
 
         x = jnp.concatenate([a, b, c, d], axis=-1)
-        x = nn.Conv(self.output_dim * 2, (3, 3), padding=1, name="conv2")(x)
+        x = nn.Conv(self.output_dim * 2, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(instance_norm(x))
-        x = nn.Conv(self.output_dim, (1, 1), name="conv3")(x)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv3")(x)
         return x
 
 
@@ -126,6 +129,7 @@ class Attention(nn.Module):
     num_heads: int = 8
     dim_head: int = 48
     qkv_bias: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context=None, attn_bias=None):
@@ -133,8 +137,8 @@ class Attention(nn.Module):
         inner = h * self.dim_head
         context = x if context is None else context
 
-        q = nn.Dense(inner, use_bias=self.qkv_bias, name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, name="to_kv")(context)
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)
 
         B, N1, _ = q.shape
@@ -150,7 +154,7 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N1, inner)
-        return nn.Dense(x.shape[-1], name="to_out")(out)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
 
 def _key_mask_bias(mask, n_queries: int, num_heads: int, dtype):
@@ -172,6 +176,7 @@ class AttnBlock(nn.Module):
     num_heads: int = 8
     dim_head: int = 48
     mlp_ratio: float = 4.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -181,10 +186,10 @@ class AttnBlock(nn.Module):
             pm = mask[:, None, :] & mask[:, :, None]  # (B, N, N)
             neg = -jnp.finfo(jnp.float32).max
             attn_bias = jnp.where(pm, 0.0, neg)[:, None].astype(jnp.float32)
-        x = x + Attention(self.num_heads, self.dim_head, qkv_bias=True, name="attn")(
+        x = x + Attention(self.num_heads, self.dim_head, qkv_bias=True, dtype=self.dtype, name="attn")(
             layer_norm(x), attn_bias=attn_bias
         )
-        x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, approximate_gelu=True, name="mlp")(
+        x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, approximate_gelu=True, dtype=self.dtype, name="mlp")(
             layer_norm(x)
         )
         return x
@@ -201,17 +206,18 @@ class CrossAttnBlock(nn.Module):
     num_heads: int = 8
     dim_head: int = 48
     mlp_ratio: float = 4.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context, key_mask: Optional[jnp.ndarray] = None):
         attn_bias = None
         if key_mask is not None:
             attn_bias = _key_mask_bias(key_mask, x.shape[1], self.num_heads, x.dtype)
-        ctx = nn.LayerNorm(epsilon=1e-5, name="norm_context")(context)
-        x = x + Attention(self.num_heads, self.dim_head, qkv_bias=True, name="cross_attn")(
+        ctx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")(context)
+        x = x + Attention(self.num_heads, self.dim_head, qkv_bias=True, dtype=self.dtype, name="cross_attn")(
             layer_norm(x), context=ctx, attn_bias=attn_bias
         )
-        x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, approximate_gelu=True, name="mlp")(
+        x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, approximate_gelu=True, dtype=self.dtype, name="mlp")(
             layer_norm(x)
         )
         return x

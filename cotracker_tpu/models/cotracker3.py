@@ -162,6 +162,7 @@ class IterationCore(nn.Module):
             num_virtual_tracks=self.num_virtual_tracks,
             add_space_attn=self.add_space_attn,
             linear_layer_for_vis_conf=self.linear_layer_for_vis_conf,
+            dtype=None if self.dtype == jnp.float32 else self.dtype,
             name="updateformer",
         )
 
@@ -245,7 +246,7 @@ class CoTrackerThree(nn.Module):
     use_pallas_corr: bool = False
 
     def setup(self):
-        self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride)
+        self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride, dtype=self.dtype)
         # the per-iteration core is lifted with nn.scan: params broadcast
         # across iterations, one compiled iteration body regardless of iters
         self.iter_core = nn.scan(

@@ -16,7 +16,7 @@ axis (SURVEY.md §2.7). The virtual-token bottleneck means cross-chip traffic
 is only O(V * C) per block.
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -35,6 +35,7 @@ class EfficientUpdateFormer(nn.Module):
     num_virtual_tracks: int = 64
     add_space_attn: bool = True
     linear_layer_for_vis_conf: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, track_mask: Optional[jnp.ndarray] = None, add_space_attn: bool = True):
@@ -48,7 +49,7 @@ class EfficientUpdateFormer(nn.Module):
         V = self.num_virtual_tracks
         dim_head = self.hidden_size // self.num_heads
 
-        tokens = nn.Dense(self.hidden_size, name="input_transform")(x)
+        tokens = nn.Dense(self.hidden_size, dtype=self.dtype, name="input_transform")(x)
         virtual = self.param(
             "virtual_tracks",
             nn.initializers.normal(stddev=1.0),
@@ -63,20 +64,20 @@ class EfficientUpdateFormer(nn.Module):
             key_mask = jnp.broadcast_to(track_mask[:, None, :], (B, T, N)).reshape(B * T, N)
 
         time_blocks = [
-            AttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, name=f"time_blocks_{i}")
+            AttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, dtype=self.dtype, name=f"time_blocks_{i}")
             for i in range(self.time_depth)
         ]
         if self.add_space_attn:
             v_blocks = [
-                AttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, name=f"space_virtual_blocks_{i}")
+                AttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, dtype=self.dtype, name=f"space_virtual_blocks_{i}")
                 for i in range(self.space_depth)
             ]
             p2v_blocks = [
-                CrossAttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, name=f"space_point2virtual_blocks_{i}")
+                CrossAttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, dtype=self.dtype, name=f"space_point2virtual_blocks_{i}")
                 for i in range(self.space_depth)
             ]
             v2p_blocks = [
-                CrossAttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, name=f"space_virtual2point_blocks_{i}")
+                CrossAttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, dtype=self.dtype, name=f"space_virtual2point_blocks_{i}")
                 for i in range(self.space_depth)
             ]
 
@@ -106,9 +107,10 @@ class EfficientUpdateFormer(nn.Module):
         tokens = tokens[:, :N]
         flow = nn.Dense(
             self.output_dim - 2 if self.linear_layer_for_vis_conf else self.output_dim,
+            dtype=self.dtype,
             name="flow_head",
         )(tokens)
         if self.linear_layer_for_vis_conf:
-            vis_conf = nn.Dense(2, name="vis_conf_head")(tokens)
+            vis_conf = nn.Dense(2, dtype=self.dtype, name="vis_conf_head")(tokens)
             flow = jnp.concatenate([flow, vis_conf], axis=-1)
         return flow
