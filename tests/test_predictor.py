@@ -161,3 +161,63 @@ class TestOnlinePredictorParity:
         )
         agree = (np.asarray(vis) == ref_vis.numpy()).mean()
         assert agree > 0.99, f"visibility agreement {agree}"
+
+
+@requires_reference
+class TestDensePredictor:
+    def test_dense_tracks_small_grid(self):
+        """Dense mode tiles grid offsets (reference predictor.py:70-98)."""
+        ref = _make_ref_predictor()
+        ours = _make_ours(ref)
+        rng = np.random.default_rng(40)
+        video = (rng.random((1, 6, 3, 24, 32)) * 255).astype(np.float32)
+
+        with torch.no_grad():
+            ref_tracks, ref_vis = ref._compute_dense_tracks(
+                torch.from_numpy(video), grid_query_frame=0, grid_size=16
+            )
+        tracks, vis = ours._compute_dense_tracks(video, grid_query_frame=0, grid_size=16)
+        assert tracks.shape == tuple(ref_tracks.shape)
+        np.testing.assert_allclose(np.asarray(tracks), ref_tracks.numpy(), rtol=1e-3, atol=0.1)
+
+    def test_online_add_support_grid(self):
+        from cotracker.predictor import CoTrackerOnlinePredictor as RefOnline
+        from cotracker.models.core.cotracker.cotracker3_online import CoTrackerThreeOnline
+
+        window_len = 8
+        torch.manual_seed(41)
+        model = CoTrackerThreeOnline(
+            stride=4, corr_radius=3, window_len=window_len, model_resolution=RES
+        ).eval()
+        ref = RefOnline.__new__(RefOnline)
+        torch.nn.Module.__init__(ref)
+        ref.v2 = False
+        ref.support_grid_size = 6
+        ref.interp_shape = RES
+        ref.step = window_len // 2
+        ref.model = model
+
+        ours = CoTrackerOnlinePredictor(window_len=window_len, capacity=64, model_resolution=RES)
+        ours.params = import_torch_state_dict(model.state_dict())
+
+        rng = np.random.default_rng(42)
+        T = 16
+        video = (rng.random((1, T, 3, 36, 52)) * 255).astype(np.float32)
+        queries = np.stack(
+            [np.zeros((1, 4)), rng.random((1, 4)) * 51, rng.random((1, 4)) * 35], axis=-1
+        ).astype(np.float32)
+
+        with torch.no_grad():
+            ref(torch.from_numpy(video[:, :1]), is_first_step=True,
+                queries=torch.from_numpy(queries), add_support_grid=True)
+            for ind in range(0, T - ref.step, ref.step):
+                ref_tracks, ref_vis = ref(
+                    torch.from_numpy(video[:, ind : ind + window_len]), add_support_grid=True
+                )
+
+        ours(video[:, :1], is_first_step=True, queries=queries, add_support_grid=True)
+        for ind in range(0, T - ours.step, ours.step):
+            tracks, vis = ours(video[:, ind : ind + window_len])
+
+        assert np.asarray(tracks).shape == tuple(ref_tracks.shape)
+        np.testing.assert_allclose(np.asarray(tracks), ref_tracks.numpy(), rtol=1e-3, atol=0.1)
