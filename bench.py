@@ -43,6 +43,9 @@ def main():
         model_resolution=(H, W),
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         corr_chunk=2048 if on_tpu else None,
+        # the Pallas T-amortized correlation kernel (inference hot path);
+        # CPU/grad paths use the XLA formulation instead
+        use_pallas_corr=on_tpu,
     )
     params = init_params(model)
 

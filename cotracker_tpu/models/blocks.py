@@ -124,37 +124,83 @@ class Attention(nn.Module):
     """Multi-head softmax attention (reference blocks.py:365-398).
 
     Heads * dim_head == model dim (8 * 48 = 384). Softmax in f32.
+
+    Besides the standard (B, S, C) form, exposes layout-native variants for
+    the factorized space attention so the (B, N, T, C) point-token tensor —
+    the 400+ MB operand at quasi-dense N — never goes through an explicit
+    N<->T transpose: the layout swap rides the projection einsums instead,
+    where XLA fuses it into the matmul.
     """
 
     num_heads: int = 8
     dim_head: int = 48
     qkv_bias: bool = False
+    out_dim: int = 384
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        inner = self.num_heads * self.dim_head
+        self.to_q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")
+        self.to_kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")
+        self.to_out = nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")
+
     def __call__(self, x, context=None, attn_bias=None):
-        h = self.num_heads
-        inner = h * self.dim_head
+        h, d = self.num_heads, self.dim_head
         context = x if context is None else context
 
-        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")(context)
-        k, v = jnp.split(kv, 2, axis=-1)
+        q = self.to_q(x)
+        k, v = jnp.split(self.to_kv(context), 2, axis=-1)
 
         B, N1, _ = q.shape
         N2 = k.shape[1]
-        q = q.reshape(B, N1, h, self.dim_head).transpose(0, 2, 1, 3)
-        k = k.reshape(B, N2, h, self.dim_head).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N2, h, self.dim_head).transpose(0, 2, 1, 3)
+        q = q.reshape(B, N1, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N2, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N2, h, d).transpose(0, 2, 1, 3)
 
-        scale = self.dim_head**-0.5
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * (d**-0.5)
         if attn_bias is not None:
             sim = sim + attn_bias
         attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N1, inner)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N1, h * d)
+        return self.to_out(out)
+
+    def virtual_from_points(self, virtual, points, key_mask=None):
+        """Queries: virtual (B, T, V, C) frame-major (small). Keys/values:
+        points (B, N, T, C) track-native. Returns (B, T, V, C_out)."""
+        h, d = self.num_heads, self.dim_head
+        B, T, V, _ = virtual.shape
+        N = points.shape[1]
+        q = self.to_q(virtual).reshape(B, T, V, h, d)
+        k, v = jnp.split(self.to_kv(points), 2, axis=-1)  # (B, N, T, inner)
+        k = k.reshape(B, N, T, h, d)
+        v = v.reshape(B, N, T, h, d)
+        sim = jnp.einsum(
+            "btvhd,bnthd->bthvn", q, k, preferred_element_type=jnp.float32
+        ) * (d**-0.5)
+        if key_mask is not None:  # (B, N) True = valid key
+            neg = -jnp.finfo(jnp.float32).max
+            sim = sim + jnp.where(key_mask, 0.0, neg)[:, None, None, None, :]
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bthvn,bnthd->btvhd", attn, v).reshape(B, T, V, h * d)
+        return self.to_out(out)
+
+    def points_from_virtual(self, points, virtual):
+        """Queries: points (B, N, T, C) track-native. Keys/values: virtual
+        (B, T, V, C) frame-major (small). Returns (B, N, T, C_out)."""
+        h, d = self.num_heads, self.dim_head
+        B, N, T, _ = points.shape
+        V = virtual.shape[2]
+        q = self.to_q(points).reshape(B, N, T, h, d)
+        k, v = jnp.split(self.to_kv(virtual), 2, axis=-1)
+        k = k.reshape(B, T, V, h, d)
+        v = v.reshape(B, T, V, h, d)
+        sim = jnp.einsum(
+            "bnthd,btvhd->bnthv", q, k, preferred_element_type=jnp.float32
+        ) * (d**-0.5)
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnthv,btvhd->bnthd", attn, v).reshape(B, N, T, h * d)
+        return self.to_out(out)
 
 
 def _key_mask_bias(mask, n_queries: int, num_heads: int, dtype):
@@ -186,9 +232,10 @@ class AttnBlock(nn.Module):
             pm = mask[:, None, :] & mask[:, :, None]  # (B, N, N)
             neg = -jnp.finfo(jnp.float32).max
             attn_bias = jnp.where(pm, 0.0, neg)[:, None].astype(jnp.float32)
-        x = x + Attention(self.num_heads, self.dim_head, qkv_bias=True, dtype=self.dtype, name="attn")(
-            layer_norm(x), attn_bias=attn_bias
-        )
+        x = x + Attention(
+            self.num_heads, self.dim_head, qkv_bias=True,
+            out_dim=self.hidden_size, dtype=self.dtype, name="attn",
+        )(layer_norm(x), attn_bias=attn_bias)
         x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, approximate_gelu=True, dtype=self.dtype, name="mlp")(
             layer_norm(x)
         )
@@ -200,6 +247,10 @@ class CrossAttnBlock(nn.Module):
 
     `key_mask` (B, N_keys) masks context keys — this is the masking that keeps
     padded / not-yet-active tracks from contaminating the virtual tokens.
+
+    Besides the standard 3D call, exposes the two layout-native forms of the
+    factorized space attention (virtual<-points, points<-virtual) that keep
+    the big (B, N, T, C) point tensor out of explicit transposes.
     """
 
     hidden_size: int = 384
@@ -208,16 +259,38 @@ class CrossAttnBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.norm_context = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")
+        self.cross_attn = Attention(
+            self.num_heads, self.dim_head, qkv_bias=True,
+            out_dim=self.hidden_size, dtype=self.dtype, name="cross_attn",
+        )
+        self.mlp = Mlp(
+            int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+            approximate_gelu=True, dtype=self.dtype, name="mlp",
+        )
+
     def __call__(self, x, context, key_mask: Optional[jnp.ndarray] = None):
         attn_bias = None
         if key_mask is not None:
             attn_bias = _key_mask_bias(key_mask, x.shape[1], self.num_heads, x.dtype)
-        ctx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")(context)
-        x = x + Attention(self.num_heads, self.dim_head, qkv_bias=True, dtype=self.dtype, name="cross_attn")(
-            layer_norm(x), context=ctx, attn_bias=attn_bias
-        )
-        x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, approximate_gelu=True, dtype=self.dtype, name="mlp")(
-            layer_norm(x)
-        )
+        ctx = self.norm_context(context)
+        x = x + self.cross_attn(layer_norm(x), context=ctx, attn_bias=attn_bias)
+        x = x + self.mlp(layer_norm(x))
         return x
+
+    def virtual_from_points(self, virtual, points, key_mask=None):
+        """virtual (B, T, V, C) frame-major queries; points (B, N, T, C)
+        track-native keys/values; key_mask (B, N)."""
+        ctx = self.norm_context(points)
+        virtual = virtual + self.cross_attn.virtual_from_points(
+            layer_norm(virtual), ctx, key_mask=key_mask
+        )
+        return virtual + self.mlp(layer_norm(virtual))
+
+    def points_from_virtual(self, points, virtual):
+        """points (B, N, T, C) track-native queries; virtual (B, T, V, C)
+        frame-major keys/values."""
+        ctx = self.norm_context(virtual)
+        points = points + self.cross_attn.points_from_virtual(layer_norm(points), ctx)
+        return points + self.mlp(layer_norm(points))

@@ -112,13 +112,17 @@ class CorrFeaturizer(nn.Module):
         if self.use_pallas:
             from cotracker_tpu.ops.kernels.corr_pallas import fused_corr_embs_pallas
 
+            # fmaps arrive prepacked (8 x-shifted padded copies) — built once
+            # per forward in CoTrackerThree.iterate, outside the update scan
             return fused_corr_embs_pallas(
                 fmaps, support, coords, w1, b1, w2, b2,
-                radius=self.radius, compute_dtype=self.dtype,
+                radius=self.radius, chunk=self.chunk, compute_dtype=self.dtype,
+                prepacked=(fmaps.ndim == 4), track_major=True,
             )
         return fused_corr_embs(
             fmaps, support, coords, w1, b1, w2, b2,
             radius=self.radius, chunk=self.chunk, compute_dtype=self.dtype,
+            track_major=True,
         )
 
 
@@ -175,6 +179,11 @@ class IterationCore(nn.Module):
             / self.stride
         )
 
+        # the transformer input is assembled TRACK-MAJOR (B, N, T, ·): the
+        # correlation featurizers emit that layout directly (the swap rides
+        # their MLP einsums) and the remaining pieces are built from tiny
+        # tensors, so the O(T*N*1110) relayout the reference's token build
+        # implies never happens.
         corr_embs = []
         for i in range(self.corr_levels):
             # support comes in as (B, P*P, N, C); the fused op wants (B, N, P*P, C)
@@ -182,24 +191,24 @@ class IterationCore(nn.Module):
             corr_embs.append(
                 self.corr_mlp(fmaps_pyramid[i], sup, coords.astype(self.dtype) / 2**i)
             )
-        corr_embs = jnp.concatenate(corr_embs, axis=-1)  # (B, T, N, 1024)
+        corr_embs = jnp.concatenate(corr_embs, axis=-1)  # (B, N, T, 1024)
 
-        rel_fwd = jnp.pad(coords[:, :-1] - coords[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
-        rel_bwd = jnp.pad(coords[:, 1:] - coords[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        coords_nt = coords.transpose(0, 2, 1, 3)  # (B, N, T, 2) — tiny
+        rel_fwd = jnp.pad(coords_nt[:, :, :-1] - coords_nt[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+        rel_bwd = jnp.pad(coords_nt[:, :, 1:] - coords_nt[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0)))
         rel = jnp.concatenate([rel_fwd / scale, rel_bwd / scale], axis=-1)
-        rel_emb = posenc(rel, min_deg=0, max_deg=10)  # (B, T, N, 84)
+        rel_emb = posenc(rel, min_deg=0, max_deg=10)  # (B, N, T, 84)
 
         x = jnp.concatenate(
             [
-                vis[..., None].astype(self.dtype),
-                conf[..., None].astype(self.dtype),
+                vis.transpose(0, 2, 1)[..., None].astype(self.dtype),
+                conf.transpose(0, 2, 1)[..., None].astype(self.dtype),
                 corr_embs,
                 rel_emb.astype(self.dtype),
             ],
             axis=-1,
-        )  # (B, T, N, 1110)
-        x = x + time_emb[:, :, None, :].astype(self.dtype)
-        x = x.transpose(0, 2, 1, 3)  # (B, N, T, D)
+        )  # (B, N, T, 1110)
+        x = x + time_emb[:, None, :, :].astype(self.dtype)
 
         delta = self.updateformer(
             x, track_mask=track_mask, add_space_attn=self.add_space_attn
@@ -340,6 +349,14 @@ class CoTrackerThree(nn.Module):
         )
         T = fmaps_pyramid[0].shape[1]
         time_emb = self.interpolate_time_embed(T)
+        if self.use_pallas_corr:
+            # hoist the kernel's padded x-shifted copies out of the scan body
+            from cotracker_tpu.ops.kernels.corr_pallas import build_shifted_fmaps
+
+            fmaps_pyramid = [
+                build_shifted_fmaps(f, self.corr_radius, self.dtype)
+                for f in fmaps_pyramid
+            ]
         _, ys = self.iter_core(
             (coords, vis, conf),
             jnp.zeros((iters,), jnp.int32),  # drives scan length

@@ -47,6 +47,7 @@ class EfficientUpdateFormer(nn.Module):
         """
         B, N, T, _ = x.shape
         V = self.num_virtual_tracks
+        C = self.hidden_size
         dim_head = self.hidden_size // self.num_heads
 
         tokens = nn.Dense(self.hidden_size, dtype=self.dtype, name="input_transform")(x)
@@ -55,13 +56,12 @@ class EfficientUpdateFormer(nn.Module):
             nn.initializers.normal(stddev=1.0),
             (1, V, 1, self.hidden_size),
         ).astype(tokens.dtype)
+        # point and virtual tokens stay SEPARATE tensors throughout: time
+        # attention is per-track, so running the same (shared-weight) time
+        # block on both is identical to the reference's concatenated pass
+        # (cotracker.py:483-523) while sparing two O(N*T*C) concat/split
+        # copies per space round.
         virtual = jnp.broadcast_to(virtual, (B, V, T, self.hidden_size))
-        tokens = jnp.concatenate([tokens, virtual], axis=1)  # (B, N+V, T, C)
-        Nv = N + V
-
-        key_mask = None
-        if track_mask is not None:
-            key_mask = jnp.broadcast_to(track_mask[:, None, :], (B, T, N)).reshape(B * T, N)
 
         time_blocks = [
             AttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, dtype=self.dtype, name=f"time_blocks_{i}")
@@ -83,28 +83,23 @@ class EfficientUpdateFormer(nn.Module):
 
         j = 0
         for i in range(self.time_depth):
-            time_tokens = tokens.reshape(B * Nv, T, self.hidden_size)
-            time_tokens = time_blocks[i](time_tokens)
-            tokens = time_tokens.reshape(B, Nv, T, self.hidden_size)
+            tokens = time_blocks[i](tokens.reshape(B * N, T, C)).reshape(B, N, T, C)
+            virtual = time_blocks[i](virtual.reshape(B * V, T, C)).reshape(B, V, T, C)
 
             if (
                 add_space_attn
                 and self.add_space_attn
                 and i % (self.time_depth // self.space_depth) == 0
             ):
-                space_tokens = tokens.transpose(0, 2, 1, 3).reshape(B * T, Nv, self.hidden_size)
-                point_tokens = space_tokens[:, :N]
-                virtual_tokens = space_tokens[:, N:]
-
-                virtual_tokens = v2p_blocks[j](virtual_tokens, point_tokens, key_mask=key_mask)
-                virtual_tokens = v_blocks[j](virtual_tokens)
-                point_tokens = p2v_blocks[j](point_tokens, virtual_tokens)
-
-                space_tokens = jnp.concatenate([point_tokens, virtual_tokens], axis=1)
-                tokens = space_tokens.reshape(B, T, Nv, self.hidden_size).transpose(0, 2, 1, 3)
+                # virtual tokens go frame-major (tiny transpose: V*T*C); the
+                # big point tensor stays track-native — its frame-major reads
+                # ride the layout-carrying einsums in Attention.*_from_points
+                vt = virtual.transpose(0, 2, 1, 3)  # (B, T, V, C)
+                vt = v2p_blocks[j].virtual_from_points(vt, tokens, key_mask=track_mask)
+                vt = v_blocks[j](vt.reshape(B * T, V, C)).reshape(B, T, V, C)
+                tokens = p2v_blocks[j].points_from_virtual(tokens, vt)
+                virtual = vt.transpose(0, 2, 1, 3)
                 j += 1
-
-        tokens = tokens[:, :N]
         flow = nn.Dense(
             self.output_dim - 2 if self.linear_layer_for_vis_conf else self.output_dim,
             dtype=self.dtype,

@@ -5,25 +5,32 @@ correlation volume between a bilinearly-sampled feature patch at the current
 coordinate estimate and the track's support patch, followed by the
 2401->384->256 embedding MLP. Equivalent to the reference hot loop
 (cotracker3_online.py:192-207: grid_sample patches -> einsum
-btnhwc,bnijc->btnhwij -> corr_mlp), but restructured for TPU:
+btnhwc,bnijc->btnhwij -> corr_mlp), but restructured for TPU around one
+identity: after edge-replicate padding the feature map by 2r+2 and clamping
+coordinates to [-(r+1), W-1+r+1], torch grid_sample's border-clamped taps
+become *unclamped* bilinear taps on the padded map — and because tap
+positions within a patch differ by integer offsets, every tap of a patch
+shares the SAME fractional weights (wx, wy).  Consequences:
 
-  * one 8x8 *window* of feature rows is gathered per point (64 rows) instead
-    of 4 taps x 49 patch positions (196 rows): 3x less HBM gather traffic;
-  * the bilinear combine happens in correlation space AFTER the
-    window x support contraction, so the (T, N, 49, C) patch tensor is never
-    materialized;
-  * border handling reproduces grid_sample's border padding exactly: per-tap
-    positions are clipped before weights are computed, expressed as
-    elementwise select-matrices (Sx, Sy) — no data-dependent control flow;
-  * the MLP is applied per chunk inside the same lax.map body, so transients
-    are bounded by the chunk size and the chunk loop compiles once.
+  * the per-point patch gather is one (2r+2)x(2r+2) window dynamic-slice
+    (8x8 for r=3), never 49 separate taps;
+  * the window-vs-support contraction is a single big matmul with
+    M = T*(2r+2)^2 rows per (batch, track) — MXU-shaped, instead of the
+    per-(t,n) fleet of 49-row matmuls a per-tap select-matrix formulation
+    needs;
+  * the bilinear combine in correlation space is 4 weighted slice-adds
+    (pure VPU work), not per-point matmuls;
+  * the (T, N, 49, C) patch tensor is never materialized.
 
-Derivation of exactness: for tap i (offset i-r along x), torch computes
-p_i = clip(x + i - r, 0, W-1), x0 = floor(p_i), w = p_i - x0, and reads
-(1-w) * F[x0] + w * F[min(x0+1, W-1)]. All needed rows lie in the 8-row
-window starting at sx = clip(floor(clip(x - r, 0, W-1)), 0, W-8), so
-S_x[i, b] = (1-w_i)[b == x0_i - sx] + w_i[b == xhi_i - sx] reconstructs the
-tap exactly (and the y axis separably).
+Equivalence to border clamping (grid_sample padding_mode="border",
+align_corners=True, model_utils.py:191-255): for a tap at unclipped position
+p, torch reads bilinear(F, clip(p, 0, W-1)).  On the padded map, any p in
+[-(r+1)-r, W-1+r+1+r] has both bilinear corners inside the padded extent;
+corners that fall in the replicated margin read the border pixel, so the
+interpolated value equals the border value exactly when both corners are in
+the margin, and equals the interior interpolation otherwise — matching the
+clipped read in every region.  Coordinates beyond the clamp range have every
+tap saturated at the border, so clamping the coordinate first is exact.
 """
 
 from typing import Optional
@@ -34,28 +41,80 @@ import jax.numpy as jnp
 F32 = jnp.float32
 
 
-def _axis_selects(coord, radius: int, size: int):
-    """Per-tap bilinear select matrix for one axis.
+def window_starts_and_weights(coords, radius: int, height: int, width: int):
+    """Window origins + shared bilinear weights for padded-map sampling.
 
-    coord: (...,) float positions (align_corners pixel units).
-    Returns (window_start (...,) int32, S (..., P, P+1) float32) with
-    S[..., i, b] the weight of window column b for tap i.
+    coords (..., 2) as (x, y) in UNPADDED pixel units of an (height, width)
+    map. Returns (wsx, wsy) int32 window starts into the map padded by
+    PAD = 2*radius + 2 on every side, and (wx, wy) f32 fractional weights
+    shared by all taps of the patch.
     """
-    P = 2 * radius + 1
-    W = P + 1  # window size (8 for radius 3)
-    lo = jnp.clip(jnp.floor(jnp.clip(coord - radius, 0.0, size - 1.0)), 0.0, max(size - W, 0))
-    start = lo.astype(jnp.int32)
+    pad = 2 * radius + 2
+    x = jnp.clip(coords[..., 0].astype(F32), -(radius + 1.0), width - 1.0 + radius + 1.0)
+    y = jnp.clip(coords[..., 1].astype(F32), -(radius + 1.0), height - 1.0 + radius + 1.0)
+    px = x + pad
+    py = y + pad
+    ix = jnp.floor(px)
+    iy = jnp.floor(py)
+    wx = px - ix
+    wy = py - iy
+    wsx = ix.astype(jnp.int32) - radius
+    wsy = iy.astype(jnp.int32) - radius
+    return wsx, wsy, wx, wy
 
-    taps = jnp.arange(P, dtype=F32)  # (P,)
-    p = jnp.clip(coord[..., None] + (taps - radius), 0.0, size - 1.0)  # (..., P)
-    x0 = jnp.floor(p)
-    w = (p - x0)[..., None]  # (..., P, 1)
-    klo = (x0 - lo[..., None]).astype(jnp.int32)[..., None]  # (..., P, 1)
-    khi = (jnp.minimum(x0 + 1, size - 1) - lo[..., None]).astype(jnp.int32)[..., None]
 
-    cols = jnp.arange(W, dtype=jnp.int32)  # (W,)
-    S = (1.0 - w) * (cols == klo) + w * (cols == khi)  # (..., P, W)
-    return start, S.astype(F32)
+def pad_fmaps(fmaps, radius: int):
+    """Edge-replicate pad the two spatial dims by PAD = 2*radius + 2."""
+    pad = 2 * radius + 2
+    return jnp.pad(
+        fmaps, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge"
+    )
+
+
+def combine_corr(g, wx, wy, compute_dtype):
+    """Bilinear combine in correlation space.
+
+    g  (B, T, N, WIN(y), WIN(x), S) raw window-vs-support correlation;
+    wx/wy (B, T, N) shared fractional weights.
+    Returns (B, T, N, P(y), P(x), S) combined patch correlations with
+    patch[j, i] the tap at offset (x + i - r, y + j - r).
+    """
+    P = g.shape[3] - 1
+    wx = wx.astype(compute_dtype)[..., None, None, None]
+    wy = wy.astype(compute_dtype)[..., None, None, None]
+    a0 = g[:, :, :, :P, :P]
+    a1 = g[:, :, :, :P, 1:]
+    b0 = g[:, :, :, 1:, :P]
+    b1 = g[:, :, :, 1:, 1:]
+    return (
+        (1 - wy) * (1 - wx) * a0
+        + (1 - wy) * wx * a1
+        + wy * (1 - wx) * b0
+        + wy * wx * b1
+    )
+
+
+def corr_mlp_apply(corr, w1, b1, w2, b2, compute_dtype, track_major=False):
+    """corr (B, T, N, P(y), P(x), S) -> (B, T, N, Do) via the 2-layer MLP
+    (or (B, N, T, Do) with track_major — the layout swap rides the einsum).
+
+    w1 is (P^4, Dh) with input index d = i_x*P*S + j_y*S + s (x-major patch
+    axes, matching the reference corr_volume flatten) — contracted without
+    materializing the flat 2401 axis.
+    """
+    P = corr.shape[3]
+    S = corr.shape[5]
+    lhs = "bntk" if track_major else "btnk"
+    out_sub = "bnto" if track_major else "btno"
+    w1r = w1.reshape(P, P, S, -1).astype(compute_dtype)  # (i, j, s, Dh)
+    h = jnp.einsum(
+        f"btnjis,ijsk->{lhs}", corr, w1r, preferred_element_type=F32
+    ).astype(compute_dtype) + b1.astype(compute_dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    out = jnp.einsum(
+        f"{lhs},ko->{out_sub}", h, w2.astype(compute_dtype), preferred_element_type=F32
+    ).astype(compute_dtype) + b2.astype(compute_dtype)
+    return out
 
 
 def fused_corr_embs(
@@ -69,32 +128,26 @@ def fused_corr_embs(
     radius: int = 3,
     chunk: Optional[int] = None,
     compute_dtype=jnp.float32,
+    track_major: bool = False,
 ):
     """fmaps (B, T, H, W, C); support (B, N, P*P, C) (flattened x-major);
     coords (B, T, N, 2) as (x, y) in this level's pixel units; MLP params
     w1 (P^4, Dh), b1 (Dh), w2 (Dh, Do), b2 (Do).
 
-    Returns (B, T, N, Do) correlation embeddings.
+    Returns (B, T, N, Do) correlation embeddings — (B, N, T, Do) with
+    track_major=True, letting callers that consume track-major tokens skip
+    an O(T*N*Do) relayout.
     """
     B, T, H, W, C = fmaps.shape
     N = coords.shape[2]
     P = 2 * radius + 1
     WIN = P + 1
 
-    # Maps smaller than the sampling window (high pyramid levels) are
-    # edge-padded; exact under border-clamp semantics because the select
-    # matrices never index beyond the original extent.
-    Hp, Wp = max(H, WIN), max(W, WIN)
-    if (Hp, Wp) != (H, W):
-        fmaps = jnp.pad(fmaps, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+    fmaps_p = pad_fmaps(fmaps, radius).astype(compute_dtype)
 
     def compute(coords_c, support_c):
         # coords_c (B, T, n, 2); support_c (B, n, P*P, C)
-        n = coords_c.shape[2]
-        x = jnp.clip(coords_c[..., 0].astype(F32), -1e6, 1e6)
-        y = jnp.clip(coords_c[..., 1].astype(F32), -1e6, 1e6)
-        sx, Sx = _axis_selects(x, radius, W)  # (B,T,n), (B,T,n,P,WIN)
-        sy, Sy = _axis_selects(y, radius, H)
+        wsx, wsy, wx, wy = window_starts_and_weights(coords_c, radius, H, W)
 
         # windows (B, T, n, WIN(y), WIN(x), C) via per-point dynamic slices —
         # XLA lowers vmapped dynamic_slice to contiguous-row reads, ~5x faster
@@ -104,29 +157,16 @@ def fused_corr_embs(
                 lambda x, y: jax.lax.dynamic_slice(f_bt, (y, x, 0), (WIN, WIN, C))
             )(xs, ys)
 
-        win = jax.vmap(jax.vmap(win_one))(fmaps, sx, sy)
+        win = jax.vmap(jax.vmap(win_one))(fmaps_p, wsx, wsy)
 
         sup = support_c.astype(compute_dtype)  # (B, n, P*P, C)
-        # raw window-vs-support correlation: (B, T, n, WIN(a), WIN(b), P*P(s))
-        g0 = jnp.einsum(
-            "btnuvc,bnsc->btnuvs", win.astype(compute_dtype), sup,
-            preferred_element_type=F32,
+        # raw window-vs-support correlation: (B, T, n, WIN(y), WIN(x), P*P(s));
+        # batched over (b, n) this is one (T*WIN*WIN, C) x (C, P*P) matmul
+        g = jnp.einsum(
+            "btnuvc,bnsc->btnuvs", win, sup, preferred_element_type=F32
         ).astype(compute_dtype)
-        # bilinear combine in correlation space (y then x)
-        t1 = jnp.einsum("btnju,btnuvs->btnjvs", Sy.astype(compute_dtype), g0,
-                        preferred_element_type=F32).astype(compute_dtype)
-        corr = jnp.einsum("btniv,btnjvs->btnijs", Sx.astype(compute_dtype), t1,
-                          preferred_element_type=F32).astype(compute_dtype)
-        # flatten (i, j, s) -> i*P*P*P + j*P*P + s : x-major patch axis first,
-        # matching the reference corr_volume.reshape(..., r*r*r*r) order
-        corr = corr.reshape(B, T, n, P * P * P * P)
-
-        h = jnp.einsum("btnd,dk->btnk", corr, w1.astype(compute_dtype),
-                       preferred_element_type=F32).astype(compute_dtype) + b1.astype(compute_dtype)
-        h = jax.nn.gelu(h, approximate=False)
-        out = jnp.einsum("btnk,ko->btno", h, w2.astype(compute_dtype),
-                         preferred_element_type=F32).astype(compute_dtype) + b2.astype(compute_dtype)
-        return out
+        corr = combine_corr(g, wx, wy, compute_dtype)
+        return corr_mlp_apply(corr, w1, b1, w2, b2, compute_dtype, track_major=track_major)
 
     if chunk is None or chunk >= N:
         return compute(coords, support)
@@ -139,6 +179,10 @@ def fused_corr_embs(
     coords_r = coords.reshape(B, T, K, chunk, 2).transpose(2, 0, 1, 3, 4)
     support_r = support.reshape(B, K, chunk, P * P, C).transpose(1, 0, 2, 3, 4)
     out = jax.lax.map(lambda args: compute(*args), (coords_r, support_r))
+    if track_major:
+        # (K, B, chunk, T, Do) -> (B, N_padded, T, Do) -> trim
+        out = out.transpose(1, 0, 2, 3, 4).reshape(B, K * chunk, T, -1)
+        return out[:, :N]
     # (K, B, T, chunk, Do) -> (B, T, N_padded, Do) -> trim
     out = out.transpose(1, 2, 0, 3, 4).reshape(B, T, K * chunk, -1)
     return out[:, :, :N]

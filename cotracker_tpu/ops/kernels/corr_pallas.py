@@ -1,28 +1,36 @@
-"""Pallas TPU kernel: fused local-correlation featurizer.
+"""Pallas TPU kernel: fused local-correlation featurizer, amortized over T.
 
 The hot op of the tracker (SURVEY.md §2.1 "Pallas kernel target #1"): for
 every (frame, track) pair, bilinearly sample a 7x7 feature patch around the
 current coordinate, correlate it against the track's 7x7 support patch
 (-> 49x49 local 4D correlation volume), and apply the 2401->384->256
-embedding MLP — all without leaving VMEM:
+embedding MLP.  Reference semantics: grid_sample border-clamped patches +
+einsum btnhwc,bnijc->btnhwij + corr_mlp (cotracker3_online.py:130-143,
+192-210) — rebuilt here around the TPU memory system:
 
-  * the level's feature map for one frame lives in VMEM across all
-    track-blocks of that frame (3.1 MB bf16 at level 0) — the per-point
-    window "gather" becomes VMEM row loads, eliminating the ~10 GB/level of
-    HBM gather traffic the XLA path pays;
-  * the x-window is 16 wide and aligned to the 8-sublane tile grid (Mosaic
-    cannot lower unaligned dynamic sublane offsets), so the per-point window
-    is exactly (8*16, C) = (128, 128) — one MXU-shaped contraction against
-    the support patch;
-  * the exact bilinear combine happens in correlation space via a per-point
-    (49, 128) select matrix built in-register from the (7, 16)/(7, 8) axis
-    selects;
-  * the MLP runs once per track-block on the accumulated (NB, 2401) volume.
+  * grid over POINTS, not frames: for one track, the 8x8xC feature windows of
+    ALL T frames are DMA'd HBM->VMEM (one async strided copy per frame,
+    double-buffered across grid steps), so the window-vs-support contraction
+    is ONE (T*64, C) x (C, 49) matmul per track — M in the thousands instead
+    of the per-(frame, point) M<=128 fleet that left the MXU ~10% utilized;
+  * window gathers use the shared-fraction identity from ops/corr.py: after
+    edge-padding the map by 2r+2 and clamping coords, all 49 taps of a patch
+    share one (wx, wy), so an 8x8 window at (floor(y)-r, floor(x)-r) suffices;
+  * TPU HBM buffers are tiled (8, 128) on the minor two dims, so a DMA may
+    not start at an arbitrary x offset (Mosaic: "tile index must be divisible
+    by the tiling"). Instead of widening windows and untangling the residual
+    shift per (point, frame) in-kernel, the wrapper prebuilds EIGHT x-shifted
+    copies of the padded map (copy m = columns shifted left by m); a window
+    at unaligned wsx reads copy wsx % 8 at the aligned start 8*(wsx//8).
+    y offsets index a non-tiled dim and stay exact. ~8x fmap HBM footprint
+    (a few GB at 384x512) buys alignment-free exact gathers;
+  * the kernel emits the RAW window correlation g (per point: (8y, T, 8x, 49)
+    row-major as (8*T*8, 49)); the 4-term bilinear combine (pure VPU math)
+    and the embedding MLP — one (B*T*N, 2401) x (2401, 384) matmul — fuse
+    into the surrounding XLA program, which handles both at speed-of-light.
 
-Exactness: same border-clamped grid_sample semantics as
-ops/corr.py::fused_corr_embs (tested against it bit-for-bit in interpret
-mode); the only deviation is GELU via an erf polynomial (|err| <= 1.5e-7) —
-the Pallas TPU lowering has no erf primitive.
+VMEM: per point, all-T windows = 2 * (8, T*8, C) buffers (~2 MB bf16 at
+T=60) + pipelined (1, 8*T*8, 49) output blocks; comfortably under 16 MB.
 """
 
 import functools
@@ -32,118 +40,87 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cotracker_tpu.ops.corr import window_starts_and_weights
+
 F32 = jnp.float32
 
 
-def _erf(x):
-    """Abramowitz-Stegun 7.1.26 erf approximation (|err| <= 1.5e-7)."""
-    s = jnp.sign(x)
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    return s * (1.0 - poly * jnp.exp(-a * a))
+def build_shifted_fmaps(fmaps, radius: int, compute_dtype=jnp.bfloat16):
+    """Pad + stack the 8 x-shifted copies the kernel's aligned DMAs need.
+
+    fmaps (B, T, H, W, C) -> (8*B*T, H+2*pad, W+2*pad, C) where copy m holds
+    columns shifted left by m, so a window starting at unaligned column wsx
+    (relative to the pad-8 map) equals copy (wsx % 8) sliced at 8*(wsx // 8).
+    Returned flattened 4D (the kernel's DMA source layout) so the array is
+    built in its final layout exactly once. Call once per forward and pass
+    via `prepacked=True` — inside the update scan this would otherwise be
+    rebuilt every iteration.
+    """
+    B, T, H, W, C = fmaps.shape
+    pad = 2 * radius + 2
+    shifts = 8  # the (8, 128) HBM tile's sublane size, not a model constant
+    padded = jnp.pad(
+        fmaps, ((0, 0), (0, 0), (pad, pad), (pad, pad + shifts - 1), (0, 0)), mode="edge"
+    ).astype(compute_dtype)
+    width = W + 2 * pad
+    out = jnp.stack([padded[:, :, :, m : m + width] for m in range(shifts)])
+    return out.reshape(8 * B * T, H + 2 * pad, width, C)
 
 
-def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, win, sems,
+            *, Tp, WIN, C, S, out_dtype):
+    """starts_* (1, Tp, 3) int32 SMEM: (flat frame index, wsy, wsx) per frame.
+    sup (1, S, C) VMEM. fm_hbm (B*T, Hp, Wp, C) stays in HBM. win scratch
+    (2, WIN, Tp*WIN, C); sems (2, Tp) DMA semaphores."""
+    p = pl.program_id(0)
+    n_pts = pl.num_programs(0)
 
-
-def _selects(coord, radius: int, size: int, window: int, align: int):
-    """Bilinear tap selects over an `window`-wide region whose start is
-    aligned to `align` sublanes. Returns (start (...,), S (..., P, window)).
-
-    Tap semantics match torch grid_sample border padding exactly (see
-    ops/corr.py): p_i = clip(x + i - r), value = (1-w) F[x0] + w F[min(x0+1,
-    size-1)]. All needed columns lie in [start, start+window)."""
-    P = 2 * radius + 1
-    exact = jnp.clip(jnp.floor(jnp.clip(coord - radius, 0.0, size - 1.0)), 0.0, max(size - (P + 1), 0))
-    if align > 1:
-        start = jnp.clip(exact - jnp.mod(exact, align), 0.0, max(size - window, 0))
-    else:
-        start = jnp.clip(exact, 0.0, max(size - window, 0))
-
-    taps = jnp.arange(P, dtype=F32)
-    p = jnp.clip(coord[..., None] + (taps - radius), 0.0, size - 1.0)
-    x0 = jnp.floor(p)
-    w = (p - x0)[..., None]
-    klo = (x0 - start[..., None]).astype(jnp.int32)[..., None]
-    khi = (jnp.minimum(x0 + 1, size - 1) - start[..., None]).astype(jnp.int32)[..., None]
-    cols = jnp.arange(window, dtype=jnp.int32)
-    S = (1.0 - w) * (cols == klo) + w * (cols == khi)  # (..., P, window)
-    return start.astype(jnp.int32), S.astype(F32)
-
-
-def _kernel(SyP_ref, SxP_ref, sup_ref, fmap_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            out_ref, acc_ref, *, nb, P, WINY, WINX, C, out_dtype):
-    """SyP (1, nb, 8, 16): rows 0..P-1 cols 0..WINY-1 = y selects, [P, 0] = sy.
-    SxP (1, nb, 8, 16): rows 0..P-1 = x selects over WINX=16, [P, 0] = sx."""
-    PP = P * P
-
-    # constant expansions for Sxy[i*P+j, a*WINX+b] = Sy[j,a] * Sx[i,b]
-    r_i = jax.lax.broadcasted_iota(jnp.int32, (PP, P), 0) // P
-    r_j = jax.lax.broadcasted_iota(jnp.int32, (PP, P), 0) % P
-    col = jax.lax.broadcasted_iota(jnp.int32, (PP, P), 1)
-    E1 = (col == r_i).astype(F32)  # (PP, P) picks Sx row i
-    F1 = (col == r_j).astype(F32)  # (PP, P) picks Sy row j
-    W2D = WINY * WINX
-    cb = jax.lax.broadcasted_iota(jnp.int32, (WINX, W2D), 1) % WINX
-    rowx = jax.lax.broadcasted_iota(jnp.int32, (WINX, W2D), 0)
-    E2 = (rowx == cb).astype(F32)  # (WINX, WINY*WINX) spreads x col b
-    ca = jax.lax.broadcasted_iota(jnp.int32, (WINY, W2D), 1) // WINX
-    rowy = jax.lax.broadcasted_iota(jnp.int32, (WINY, W2D), 0)
-    F2 = (rowy == ca).astype(F32)  # (WINY, WINY*WINX) spreads y row a
-
-    def one_point(p):
-        SyP = SyP_ref[0, pl.ds(p, 1)].reshape(WINY, WINX)
-        SxP = SxP_ref[0, pl.ds(p, 1)].reshape(WINY, WINX)
-        sy = SyP[P, 0].astype(jnp.int32)
-        sx = pl.multiple_of(SxP[P, 0].astype(jnp.int32), 8)
-
-        rows = [fmap_ref[0, sy + a, pl.ds(sx, WINX), :] for a in range(WINY)]
-        win2 = jnp.concatenate(rows, axis=0)  # (WINY*WINX, C), row = a*WINX + b
-
-        sup = sup_ref[0, pl.ds(p, 1)].reshape(PP, C)
-        g = jax.lax.dot_general(
-            win2, sup, (((1,), (1,)), ((), ())), preferred_element_type=F32
-        )  # (WINY*WINX, PP)
-
-        Sy_p = SyP[:P, :].astype(F32)  # (P, WINX) — only cols < WINY are nonzero
-        Sx_p = SxP[:P, :].astype(F32)  # (P, WINX)
-        Sy_e = jnp.dot(jnp.dot(F1, Sy_p[:, :WINY], preferred_element_type=F32), F2,
-                       preferred_element_type=F32)  # (PP, W2D)
-        Sx_e = jnp.dot(jnp.dot(E1, Sx_p, preferred_element_type=F32), E2,
-                       preferred_element_type=F32)  # (PP, W2D)
-        Sxy = (Sx_e * Sy_e).astype(g.dtype)  # (PP, WINY*WINX)
-
-        corr = jax.lax.dot_general(
-            Sxy, g, (((1,), (0,)), ((), ())), preferred_element_type=F32
-        )  # (PP, PP): [i*P+j, s]
-        acc_ref[pl.ds(p, 1)] = corr[None]
-
-    # unrolled loop: independent per-point chains give the scheduler ILP
-    UNROLL = 4
-    def body(q, _):
-        for u in range(UNROLL):
-            one_point(UNROLL * q + u)
-        return 0
-
-    jax.lax.fori_loop(0, nb // UNROLL, body, 0)
-
-    # first MLP layer as PP slice-matmuls — Mosaic cannot shape-cast
-    # (nb, PP, PP) -> (nb, PP*PP), so contract (j, s) pairwise instead:
-    # h = sum_j acc[:, j, :] @ w1[j] with w1 passed as (PP, PP, Dh)
-    h = b1_ref[0].astype(F32)
-    for j in range(PP):
-        h = h + jnp.dot(
-            acc_ref[:, j, :].astype(w1_ref.dtype), w1_ref[j],
-            preferred_element_type=F32,
+    def dma(slot, t, st_ref):
+        ft = st_ref[0, t, 0]
+        sy = st_ref[0, t, 1]
+        # the wrapper aligns x starts to the (8, 128) HBM tile via the
+        # shifted-copy trick; Mosaic still needs the divisibility hint
+        sx = pl.multiple_of(st_ref[0, t, 2], 8)
+        return pltpu.make_async_copy(
+            fm_hbm.at[ft, pl.ds(sy, WIN), pl.ds(sx, WIN), :],
+            win.at[slot, :, pl.ds(t * WIN, WIN), :],
+            sems.at[slot, t],
         )
-    h = _gelu_exact(h).astype(w2_ref.dtype)
-    out = jnp.dot(h, w2_ref[:], preferred_element_type=F32) + b2_ref[0].astype(F32)
-    out_ref[0] = out.astype(out_dtype)
+
+    def issue(slot, st_ref):
+        for t in range(Tp):
+            dma(slot, t, st_ref).start()
+
+    # warm-up: this point's windows (issued here only on the first grid step;
+    # afterwards step p-1 already issued them as its "next")
+    @pl.when(p == 0)
+    def _():
+        issue(0, starts_cur_ref)
+
+    # prefetch the NEXT point's windows into the other buffer. Its previous
+    # contents were consumed by the matmul of step p-1, which precedes these
+    # starts in program order.
+    @pl.when(p + 1 < n_pts)
+    def _():
+        issue((p + 1) % 2, starts_nxt_ref)
+
+    # wait for this point's windows. The copies were issued from the same
+    # starts values (step p-1's starts_nxt == step p's starts_cur), so
+    # reconstructing them here waits on identical transfers.
+    slot = p % 2
+    for t in range(Tp):
+        dma(slot, t, starts_cur_ref).wait()
+
+    wv = win[slot]  # (WIN, Tp*WIN, C)
+    win2 = wv.reshape(WIN * Tp * WIN, C)  # rows r = a*(Tp*WIN) + t*WIN + b
+    # transposed contraction: the long window axis lands on LANES of the
+    # output, so the (NP, S, R) result tiles without padding — the natural
+    # (R, S) orientation pads S=49 lanes to 128 and writes 2.6x the bytes.
+    # MXU efficiency is identical (the 49/128 under-fill just moves to M).
+    g = jax.lax.dot_general(
+        sup_ref[0], win2, (((1,), (1,)), ((), ())), preferred_element_type=F32
+    )  # (S, WIN*Tp*WIN)
+    out_ref[0] = g.astype(out_dtype)
 
 
 def fused_corr_embs_pallas(
@@ -155,82 +132,143 @@ def fused_corr_embs_pallas(
     w2,
     b2,
     radius: int = 3,
-    nb: int = 128,
+    chunk=None,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    prepacked: bool = False,
+    track_major: bool = False,
 ):
-    """Same contract as ops.corr.fused_corr_embs, executed as a Pallas kernel.
+    """Same contract as ops.corr.fused_corr_embs, hot path as a Pallas kernel.
 
-    fmaps (B, T, H, W, C); support (B, N, P*P, C); coords (B, T, N, 2).
-    Returns (B, T, N, Do).
+    fmaps (B, T, H, W, C) — or, with prepacked=True, the output of
+    build_shifted_fmaps (8*B*T, H+2p, W+2p, C), letting callers hoist the
+    padded-copies build out of an update-iteration scan.
+    support (B, N, P*P, C); coords (B, T, N, 2); chunk bounds the transient
+    (n, 49, 8*T*8) correlation block over N. Returns (B, T, N, Do), or
+    (B, N, T, Do) with track_major=True (the layout rides the MLP einsum).
     """
-    B, T, H, W, C = fmaps.shape
-    N = coords.shape[2]
     P = 2 * radius + 1
-    WINY = P + 1  # 8 rows along y
-    WINX = 2 * WINY  # 16 aligned columns along x
-    Do = w2.shape[1]
+    WIN = P + 1
+    S = P * P
+    pad = 2 * radius + 2
 
-    # pad tiny pyramid levels (exact under border clamping; see ops/corr.py)
-    Hp, Wp = max(H, WINY), max(W, WINX)
-    if (Hp, Wp) != (H, W):
-        fmaps = jnp.pad(fmaps, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+    B, T, N = coords.shape[:3]
+    if prepacked:
+        _, Hp, Wp, C = fmaps.shape
+        H, W = Hp - 2 * pad, Wp - 2 * pad
+        fmaps_p = fmaps.astype(compute_dtype)
+    else:
+        B, T, H, W, C = fmaps.shape
+        fmaps_p = build_shifted_fmaps(fmaps, radius, compute_dtype)
+        Hp, Wp = H + 2 * pad, W + 2 * pad
+    wsx, wsy, wx, wy = window_starts_and_weights(coords, radius, H, W)  # (B, T, N)
 
-    Npad = -(-N // nb) * nb
-    if Npad != N:
-        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, Npad - N), (0, 0)))
-        support = jnp.pad(support, ((0, 0), (0, Npad - N), (0, 0), (0, 0)))
+    # per-(point, frame) DMA descriptors: flat (shift-copy, frame) index +
+    # aligned window origin. Copy m = wsx % 8 at aligned start 8*(wsx // 8)
+    # reproduces the exact unaligned window.
+    m = jnp.bitwise_and(wsx, 7)
+    sx8 = wsx - m
+    ft = (
+        m * (B * T)
+        + jnp.broadcast_to(
+            (jnp.arange(B, dtype=jnp.int32) * T)[:, None, None]
+            + jnp.arange(T, dtype=jnp.int32)[None, :, None],
+            (B, T, N),
+        )
+    )
+    starts = jnp.stack([ft, wsy, sx8], axis=-1)  # (B, T, N, 3)
+    starts = starts.transpose(0, 2, 1, 3).reshape(B * N, T, 3)
+    Tp = T + (T % 2)  # even T so (WIN, Tp*WIN, C) merges are tile-trivial
+    if Tp != T:
+        starts = jnp.concatenate([starts, starts[:, -1:]], axis=1)
 
-    x = jnp.clip(coords[..., 0].astype(F32), -1e6, 1e6)
-    y = jnp.clip(coords[..., 1].astype(F32), -1e6, 1e6)
-    sx, Sx = _selects(x, radius, W, WINX, align=8)  # (B,T,N), (B,T,N,P,16)
-    sy, Sy = _selects(y, radius, H, WINY, align=1)  # (B,T,N), (B,T,N,P,8)
-
-    BT = B * T
-    K = Npad // nb
-    fmaps_bt = fmaps.reshape(BT, Hp, Wp, C).astype(compute_dtype)
-    sup = support.astype(compute_dtype)
-
-    def pack(S, start, win):
-        # (BT, N, P, win) -> (BT, N, WINY, WINX) f32 with start at [P, 0]
-        S = S.reshape(BT, Npad, P, win)
-        S = jnp.pad(S, ((0, 0), (0, 0), (0, WINY - P), (0, WINX - win)))
-        return S.at[:, :, P, 0].set(start.reshape(BT, Npad).astype(F32))
-
-    SyP = pack(Sy, sy, WINY)
-    SxP = pack(Sx, sx, WINX)
+    cd = compute_dtype
+    starts = starts.reshape(B, N, Tp, 3)
+    sup = support.astype(cd)  # (B, N, S, C)
+    wxn = wx.transpose(0, 2, 1)  # (B, N, T)
+    wyn = wy.transpose(0, 2, 1)
+    w1r = w1.reshape(P, P, S, -1).astype(cd)  # (i, j, s, Dh): d = i*P*S + j*S + s
+    R = WIN * Tp * WIN
+    fmh = fmaps_p  # (8*B*T, Hp, Wp, C)
 
     kernel = functools.partial(
-        _kernel, nb=nb, P=P, WINY=WINY, WINX=WINX, C=C, out_dtype=compute_dtype
+        _kernel, Tp=Tp, WIN=WIN, C=C, S=S, out_dtype=cd
     )
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((BT, Npad, Do), compute_dtype),
-        grid=(BT, K),
-        in_specs=[
-            pl.BlockSpec((1, nb, WINY, WINX), lambda bt, k: (bt, k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, WINY, WINX), lambda bt, k: (bt, k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, P * P, C), lambda bt, k: (bt // T, k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hp, Wp, C), lambda bt, k: (bt, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
-            pl.BlockSpec((1, w1.shape[1]), lambda bt, k: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
-            pl.BlockSpec((1, Do), lambda bt, k: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, nb, Do), lambda bt, k: (bt, k, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((nb, P * P, P * P), F32)],
-        interpret=interpret,
-    )(
-        SyP,
-        SxP,
-        sup,
-        fmaps_bt,
-        w1.reshape(P * P, P * P, -1).astype(compute_dtype),
-        b1.reshape(1, -1).astype(compute_dtype),
-        w2.astype(compute_dtype),
-        b2.reshape(1, -1).astype(compute_dtype),
-    )
+    def run(starts_c, sup_c, wx_c, wy_c):
+        # starts_c (B, n, Tp, 3); sup_c (B, n, S, C); wx_c/wy_c (B, n, T)
+        n = starts_c.shape[1]
+        NP = B * n
+        g = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((NP, S, R), cd),
+            grid=(NP,),
+            in_specs=[
+                pl.BlockSpec((1, Tp, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, Tp, 3),
+                    lambda p: (jnp.minimum(p + 1, NP - 1), 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1, S, C), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # fmaps stay in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (1, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, WIN, Tp * WIN, C), cd),
+                pltpu.SemaphoreType.DMA((2, Tp)),
+            ],
+            interpret=interpret,
+        )(
+            starts_c.reshape(NP, Tp, 3),
+            starts_c.reshape(NP, Tp, 3),
+            sup_c.reshape(NP, S, C),
+            fmh,
+        )
 
-    out = out.reshape(B, T, Npad, Do)
+        # XLA epilogue: bilinear combine (4 weighted slice-adds) + corr MLP.
+        # g lanes index r = a*(Tp*WIN) + t*WIN + b with a=y, b=x.
+        g = g.reshape(B, n, S, WIN, Tp, WIN)[:, :, :, :, :T]  # (B,n,S,y,T,x)
+        wxb = wx_c[:, :, None, None, :, None].astype(cd)  # (B,n,1,1,T,1)
+        wyb = wy_c[:, :, None, None, :, None].astype(cd)
+        a0 = g[:, :, :, :P, :, :P]
+        a1 = g[:, :, :, :P, :, 1:]
+        c0 = g[:, :, :, 1:, :, :P]
+        c1 = g[:, :, :, 1:, :, 1:]
+        corr = (
+            (1 - wyb) * (1 - wxb) * a0
+            + (1 - wyb) * wxb * a1
+            + wyb * (1 - wxb) * c0
+            + wyb * wxb * c1
+        )  # (B, n, S, j(y), T, i(x))
+        lhs = "bntk" if track_major else "btnk"
+        out_sub = "bnto" if track_major else "btno"
+        h = jnp.einsum(
+            f"bnsjti,ijsk->{lhs}", corr, w1r, preferred_element_type=F32
+        ).astype(cd) + b1.astype(cd)
+        h = jax.nn.gelu(h, approximate=False)
+        return jnp.einsum(
+            f"{lhs},ko->{out_sub}", h, w2.astype(cd), preferred_element_type=F32
+        ).astype(cd) + b2.astype(cd)
+
+    if chunk is None or chunk >= N:
+        return run(starts, sup, wxn, wyn)
+
+    K = -(-N // chunk)
+    padn = K * chunk - N
+    if padn:
+        pad_n = lambda a: jnp.pad(a, ((0, 0), (0, padn)) + ((0, 0),) * (a.ndim - 2))
+        starts, sup, wxn, wyn = map(pad_n, (starts, sup, wxn, wyn))
+    split = lambda a: a.reshape((B, K, chunk) + a.shape[2:]).transpose(
+        (1, 0, 2) + tuple(range(3, a.ndim + 1))
+    )
+    out = jax.lax.map(
+        lambda args: run(*args), (split(starts), split(sup), split(wxn), split(wyn))
+    )  # (K, B, T, chunk, Do) — or (K, B, chunk, T, Do) track-major
+    if track_major:
+        out = out.transpose(1, 0, 2, 3, 4).reshape(B, K * chunk, T, -1)
+        return out[:, :N]
+    out = out.transpose(1, 2, 0, 3, 4).reshape(B, T, K * chunk, -1)
     return out[:, :, :N]

@@ -24,10 +24,38 @@ class TestPallasCorr:
 
         ref = fused_corr_embs(fm, sup, coords, w1, b1, w2, b2, radius=3, compute_dtype=jnp.float32)
         out = fused_corr_embs_pallas(
-            fm, sup, coords, w1, b1, w2, b2, radius=3, nb=8,
+            fm, sup, coords, w1, b1, w2, b2, radius=3,
             compute_dtype=jnp.float32, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+    def test_chunked_and_prepacked(self):
+        """N-chunking and the hoisted prepacked fmaps path agree with the
+        unchunked raw-fmaps path."""
+        import jax.numpy as jnp
+        from cotracker_tpu.ops.kernels.corr_pallas import build_shifted_fmaps
+
+        rng = np.random.default_rng(2)
+        B, T, H, W, C, N = 1, 3, 16, 24, 128, 7
+        fm = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+        sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+        coords = jnp.asarray(
+            (rng.random((B, T, N, 2)) * np.array([W + 6, H + 6]) - 3).astype(np.float32)
+        )
+        w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+        b1 = jnp.zeros(384)
+        w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.05)
+        b2 = jnp.zeros(256)
+        ref = fused_corr_embs_pallas(
+            fm, sup, coords, w1, b1, w2, b2, radius=3,
+            compute_dtype=jnp.float32, interpret=True,
+        )
+        packed = build_shifted_fmaps(fm, 3, jnp.float32)
+        out = fused_corr_embs_pallas(
+            packed, sup, coords, w1, b1, w2, b2, radius=3, chunk=3,
+            compute_dtype=jnp.float32, interpret=True, prepacked=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
     def test_tiny_level_edge_padding(self):
         """Pyramid levels smaller than the sampling window must still be exact."""
@@ -42,7 +70,7 @@ class TestPallasCorr:
         b2 = jnp.zeros(256)
         ref = fused_corr_embs(fm, sup, coords, w1, b1, w2, b2, radius=3, compute_dtype=jnp.float32)
         out = fused_corr_embs_pallas(
-            fm, sup, coords, w1, b1, w2, b2, radius=3, nb=8,
+            fm, sup, coords, w1, b1, w2, b2, radius=3,
             compute_dtype=jnp.float32, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
