@@ -46,6 +46,7 @@ def main():
         # the Pallas T-amortized correlation kernel (inference hot path);
         # CPU/grad paths use the XLA formulation instead
         use_pallas_corr=on_tpu,
+        use_pallas_attn=on_tpu,
     )
     params = init_params(model)
 

@@ -137,6 +137,7 @@ class Attention(nn.Module):
     qkv_bias: bool = False
     out_dim: int = 384
     dtype: Any = None
+    use_pallas: bool = False  # fused VMEM attention core (inference hot path)
 
     def setup(self):
         inner = self.num_heads * self.dim_head
@@ -146,6 +147,17 @@ class Attention(nn.Module):
 
     def __call__(self, x, context=None, attn_bias=None):
         h, d = self.num_heads, self.dim_head
+        if (
+            self.use_pallas
+            and context is None
+            and attn_bias is None
+            and x.shape[0] % 8 == 0
+        ):
+            from cotracker_tpu.ops.kernels.attention_pallas import fused_time_attention
+
+            q = self.to_q(x)
+            kv = self.to_kv(x)  # K|V unsplit — the kernel slices lanes itself
+            return self.to_out(fused_time_attention(q, kv, h, d))
         context = x if context is None else context
 
         q = self.to_q(x)
@@ -223,6 +235,7 @@ class AttnBlock(nn.Module):
     dim_head: int = 48
     mlp_ratio: float = 4.0
     dtype: Any = None
+    use_pallas_attn: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -234,7 +247,8 @@ class AttnBlock(nn.Module):
             attn_bias = jnp.where(pm, 0.0, neg)[:, None].astype(jnp.float32)
         x = x + Attention(
             self.num_heads, self.dim_head, qkv_bias=True,
-            out_dim=self.hidden_size, dtype=self.dtype, name="attn",
+            out_dim=self.hidden_size, dtype=self.dtype,
+            use_pallas=self.use_pallas_attn, name="attn",
         )(layer_norm(x), attn_bias=attn_bias)
         x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, approximate_gelu=True, dtype=self.dtype, name="mlp")(
             layer_norm(x)
@@ -270,10 +284,25 @@ class CrossAttnBlock(nn.Module):
             approximate_gelu=True, dtype=self.dtype, name="mlp",
         )
 
-    def __call__(self, x, context, key_mask: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x,
+        context,
+        key_mask: Optional[jnp.ndarray] = None,
+        query_mask: Optional[jnp.ndarray] = None,
+    ):
+        """query_mask (B, N_queries) reproduces the reference v2 convention
+        (cotracker.py:561-565): a masked *query* has every key biased by
+        -finfo.max, i.e. its output degrades to the uniform average of the
+        values — the legacy model relies on this exact behavior for
+        not-yet-active tracks."""
         attn_bias = None
         if key_mask is not None:
             attn_bias = _key_mask_bias(key_mask, x.shape[1], self.num_heads, x.dtype)
+        if query_mask is not None:
+            neg = -jnp.finfo(jnp.float32).max
+            qb = jnp.where(query_mask, 0.0, neg)[:, None, :, None].astype(jnp.float32)
+            attn_bias = qb if attn_bias is None else attn_bias + qb
         ctx = self.norm_context(context)
         x = x + self.cross_attn(layer_norm(x), context=ctx, attn_bias=attn_bias)
         x = x + self.mlp(layer_norm(x))

@@ -149,6 +149,7 @@ class IterationCore(nn.Module):
     corr_chunk: Optional[int] = None
     dtype: Any = jnp.float32
     use_pallas_corr: bool = False
+    use_pallas_attn: bool = False
 
     def setup(self):
         self.corr_mlp = CorrFeaturizer(
@@ -167,6 +168,7 @@ class IterationCore(nn.Module):
             add_space_attn=self.add_space_attn,
             linear_layer_for_vis_conf=self.linear_layer_for_vis_conf,
             dtype=None if self.dtype == jnp.float32 else self.dtype,
+            use_pallas_attn=self.use_pallas_attn,
             name="updateformer",
         )
 
@@ -253,6 +255,8 @@ class CoTrackerThree(nn.Module):
     corr_chunk: Optional[int] = None
     # run the correlation featurizer as a Pallas TPU kernel
     use_pallas_corr: bool = False
+    # run the updateformer time-attention core as a Pallas TPU kernel
+    use_pallas_attn: bool = False
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride, dtype=self.dtype)
@@ -277,6 +281,7 @@ class CoTrackerThree(nn.Module):
             corr_chunk=self.corr_chunk,
             dtype=self.dtype,
             use_pallas_corr=self.use_pallas_corr,
+            use_pallas_attn=self.use_pallas_attn,
             name="iter_core",
         )
         # Deterministic sincos time embedding over the trained window length

@@ -36,6 +36,7 @@ class EfficientUpdateFormer(nn.Module):
     add_space_attn: bool = True
     linear_layer_for_vis_conf: bool = True
     dtype: Any = None
+    use_pallas_attn: bool = False  # fused time-attention core (inference)
 
     @nn.compact
     def __call__(self, x, track_mask: Optional[jnp.ndarray] = None, add_space_attn: bool = True):
@@ -64,7 +65,11 @@ class EfficientUpdateFormer(nn.Module):
         virtual = jnp.broadcast_to(virtual, (B, V, T, self.hidden_size))
 
         time_blocks = [
-            AttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, dtype=self.dtype, name=f"time_blocks_{i}")
+            AttnBlock(
+                self.hidden_size, self.num_heads, dim_head, self.mlp_ratio,
+                dtype=self.dtype, use_pallas_attn=self.use_pallas_attn,
+                name=f"time_blocks_{i}",
+            )
             for i in range(self.time_depth)
         ]
         if self.add_space_attn:

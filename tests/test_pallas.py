@@ -1,10 +1,12 @@
-"""Pallas fused-correlation kernel parity (interpret mode on CPU)."""
+"""Pallas kernel parity vs the XLA formulations (interpret mode on CPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cotracker_tpu.ops.corr import fused_corr_embs
 from cotracker_tpu.ops.kernels.corr_pallas import fused_corr_embs_pallas
+from cotracker_tpu.ops.kernels.attention_pallas import fused_time_attention
 
 
 class TestPallasCorr:
@@ -28,6 +30,26 @@ class TestPallasCorr:
             compute_dtype=jnp.float32, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+    def test_time_attention_matches_xla(self):
+        """Fused per-track time attention == plain multi-head attention."""
+        rng = np.random.default_rng(3)
+        M, T, H, D = 16, 6, 8, 48
+        C = H * D
+        q = jnp.asarray(rng.standard_normal((M, T, C)).astype(np.float32))
+        kv = jnp.asarray(rng.standard_normal((M, T, 2 * C)).astype(np.float32))
+
+        # reference formulation (models/blocks.py Attention XLA path)
+        k, v = jnp.split(kv, 2, axis=-1)
+        qh = q.reshape(M, T, H, D).transpose(0, 2, 1, 3)
+        kh = k.reshape(M, T, H, D).transpose(0, 2, 1, 3)
+        vh = v.reshape(M, T, H, D).transpose(0, 2, 1, 3)
+        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(sim * D**-0.5, axis=-1)
+        ref = jnp.einsum("bhij,bhjd->bhid", attn, vh).transpose(0, 2, 1, 3).reshape(M, T, C)
+
+        out = fused_time_attention(q, kv, H, D, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
     def test_chunked_and_prepacked(self):
         """N-chunking and the hoisted prepacked fmaps path agree with the
