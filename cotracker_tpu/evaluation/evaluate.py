@@ -35,6 +35,7 @@ class DefaultConfig:
     window_len: int = 60
     fast_eval: bool = False
     local_extent: int = 50
+    v2: bool = False  # legacy CoTracker2 family (reference evaluate.py:57)
 
 
 def run_eval(cfg: DefaultConfig):
@@ -48,7 +49,8 @@ def run_eval(cfg: DefaultConfig):
         json.dump(dataclasses.asdict(cfg), f, indent=2)
 
     model, params = build_cotracker(
-        cfg.checkpoint, offline=cfg.offline_model, window_len=cfg.window_len
+        cfg.checkpoint, offline=cfg.offline_model, window_len=cfg.window_len,
+        v2=cfg.v2,
     )
 
     if cfg.offline_model:
@@ -66,7 +68,9 @@ def run_eval(cfg: DefaultConfig):
     else:
         from cotracker_tpu.predictor import CoTrackerOnlinePredictor
 
-        online = CoTrackerOnlinePredictor(cfg.checkpoint, window_len=cfg.window_len)
+        online = CoTrackerOnlinePredictor(
+            cfg.checkpoint, window_len=cfg.window_len, v2=cfg.v2
+        )
         predictor = OnlineWrapper(online)
 
     name = cfg.dataset_name

@@ -60,10 +60,14 @@ class EvaluationPredictor:
         key = (T, n_pad)
         if key not in self._jit_cache:
             def fn(params, video, queries, track_mask):
-                coords, vis, conf, _ = self.model.apply(
+                out = self.model.apply(
                     {"params": params}, video, queries, iters=self.n_iters,
                     track_mask=track_mask,
                 )
+                if len(out) == 3:  # legacy v2: (coords, vis, train_data) — no
+                    # confidence head (reference evaluation_predictor.py:111-114)
+                    return out[0], out[1], jnp.ones_like(out[1])
+                coords, vis, conf, _ = out
                 return coords, vis, conf
 
             self._jit_cache[key] = jax.jit(fn)

@@ -197,9 +197,13 @@ class Attention(nn.Module):
         out = jnp.einsum("bthvn,bnthd->btvhd", attn, v).reshape(B, T, V, h * d)
         return self.to_out(out)
 
-    def points_from_virtual(self, points, virtual):
+    def points_from_virtual(self, points, virtual, query_mask=None):
         """Queries: points (B, N, T, C) track-native. Keys/values: virtual
-        (B, T, V, C) frame-major (small). Returns (B, N, T, C_out)."""
+        (B, T, V, C) frame-major (small). Returns (B, N, T, C_out).
+
+        query_mask (B, N): the reference v2 convention (cotracker.py:561-565)
+        — a masked *query* has every key biased by -finfo.max, so its output
+        degrades to the uniform average of the values."""
         h, d = self.num_heads, self.dim_head
         B, N, T, _ = points.shape
         V = virtual.shape[2]
@@ -210,6 +214,9 @@ class Attention(nn.Module):
         sim = jnp.einsum(
             "bnthd,btvhd->bnthv", q, k, preferred_element_type=jnp.float32
         ) * (d**-0.5)
+        if query_mask is not None:  # (B, N) True = active query
+            neg = -jnp.finfo(jnp.float32).max
+            sim = sim + jnp.where(query_mask, 0.0, neg)[:, :, None, None, None]
         attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bnthv,btvhd->bnthd", attn, v).reshape(B, N, T, h * d)
         return self.to_out(out)
@@ -317,9 +324,12 @@ class CrossAttnBlock(nn.Module):
         )
         return virtual + self.mlp(layer_norm(virtual))
 
-    def points_from_virtual(self, points, virtual):
+    def points_from_virtual(self, points, virtual, query_mask=None):
         """points (B, N, T, C) track-native queries; virtual (B, T, V, C)
-        frame-major keys/values."""
+        frame-major keys/values; query_mask (B, N) applies the v2 uniform-
+        attention convention to masked queries."""
         ctx = self.norm_context(virtual)
-        points = points + self.cross_attn.points_from_virtual(layer_norm(points), ctx)
+        points = points + self.cross_attn.points_from_virtual(
+            layer_norm(points), ctx, query_mask=query_mask
+        )
         return points + self.mlp(layer_norm(points))

@@ -14,27 +14,38 @@ def build_cotracker(
     window_len: Optional[int] = None,
     dtype: Any = jnp.float32,
     model_resolution: Tuple[int, int] = (384, 512),
-) -> Tuple[CoTrackerThree, Any]:
-    """Build a CoTracker3 model definition and parameters.
+    v2: bool = False,
+):
+    """Build a CoTracker model definition and parameters (mirrors the
+    reference factory's v2/offline/online switch, build_cotracker.py:26-45).
 
     checkpoint: path to a reference .pth state_dict (imported via
     models/checkpoint.py) or None for fresh random init.
     Returns (model_def, params).
     """
-    if window_len is None:
-        window_len = 60 if offline else 16
-    model = CoTrackerThree(window_len=window_len, dtype=dtype, model_resolution=model_resolution)
+    if v2:
+        from cotracker_tpu.models.cotracker2 import CoTracker2
+
+        model = CoTracker2(
+            window_len=window_len or 8, dtype=dtype, model_resolution=model_resolution
+        )
+    else:
+        if window_len is None:
+            window_len = 60 if offline else 16
+        model = CoTrackerThree(
+            window_len=window_len, dtype=dtype, model_resolution=model_resolution
+        )
 
     if checkpoint is not None:
         from cotracker_tpu.models.checkpoint import load_torch_checkpoint
 
-        params = load_torch_checkpoint(checkpoint)
+        params = load_torch_checkpoint(checkpoint, v2=v2)
     else:
         params = init_params(model)
     return model, params
 
 
-def init_params(model: CoTrackerThree, seed: int = 0):
+def init_params(model, seed: int = 0):
     """Random-initialize a parameter tree by tracing a tiny forward."""
     rng = jax.random.PRNGKey(seed)
     # tiny shapes are fine: params are shape-independent of T/N/H/W except

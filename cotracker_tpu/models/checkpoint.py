@@ -48,6 +48,73 @@ def _set(tree: Dict[str, Any], path, value):
     node[path[-1]] = value
 
 
+def _import_fnet(params, rest, val):
+    if rest[0] in ("conv1", "conv2", "conv3"):
+        kind = "kernel" if rest[1] == "weight" else "bias"
+        _set(params, ("fnet", rest[0], kind), _conv(val) if kind == "kernel" else _vec(val))
+    elif re.fullmatch(r"layer\d", rest[0]):
+        # fnet.layerL.B.convX.weight  /  fnet.layerL.B.downsample.0.weight
+        layer, block = rest[0], rest[1]
+        name = f"{layer}_{block}"
+        if rest[2] == "downsample":
+            kind = "kernel" if rest[4] == "weight" else "bias"
+            _set(
+                params,
+                ("fnet", name, "downsample", kind),
+                _conv(val) if kind == "kernel" else _vec(val),
+            )
+        elif rest[2] in ("conv1", "conv2"):
+            kind = "kernel" if rest[3] == "weight" else "bias"
+            _set(
+                params,
+                ("fnet", name, rest[2], kind),
+                _conv(val) if kind == "kernel" else _vec(val),
+            )
+        # norm1/norm2/norm3: InstanceNorm2d, paramless in reference configs
+
+
+def _import_updateformer(params, prefix, rest, val):
+    """Map reference `updateformer.*` keys to flax paths under `prefix`."""
+    if rest[0] == "virual_tracks":  # reference's spelling (cotracker.py:416)
+        _set(params, prefix + ("virtual_tracks",), _vec(val))
+        return
+    if rest[0] in ("input_transform", "flow_head", "vis_conf_head"):
+        kind = "kernel" if rest[1] == "weight" else "bias"
+        _set(
+            params,
+            prefix + (rest[0], kind),
+            _linear(val) if kind == "kernel" else _vec(val),
+        )
+        return
+    if rest[0] in (
+        "time_blocks",
+        "space_virtual_blocks",
+        "space_point2virtual_blocks",
+        "space_virtual2point_blocks",
+    ):
+        block = f"{rest[0]}_{rest[1]}"
+        sub = rest[2]  # attn / cross_attn / mlp / norm_context (norm1/2 paramless)
+        if sub in ("attn", "cross_attn"):
+            proj = rest[3]  # to_q / to_kv / to_out
+            kind = "kernel" if rest[4] == "weight" else "bias"
+            _set(
+                params,
+                prefix + (block, sub, proj, kind),
+                _linear(val) if kind == "kernel" else _vec(val),
+            )
+        elif sub == "mlp":
+            fc = rest[3]
+            kind = "kernel" if rest[4] == "weight" else "bias"
+            _set(
+                params,
+                prefix + (block, "mlp", fc, kind),
+                _linear(val) if kind == "kernel" else _vec(val),
+            )
+        elif sub == "norm_context":
+            kind = "scale" if rest[3] == "weight" else "bias"
+            _set(params, prefix + (block, "norm_context", kind), _vec(val))
+
+
 def import_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     """Convert a reference CoTracker3 state_dict into a flax params dict
     matching `CoTrackerThree` (models/cotracker3.py)."""
@@ -62,35 +129,11 @@ def import_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
 
         parts = key.split(".")
 
-        # ---------------- encoder ----------------
         if parts[0] == "fnet":
-            rest = parts[1:]
-            if rest[0] in ("conv1", "conv2", "conv3"):
-                kind = "kernel" if rest[1] == "weight" else "bias"
-                _set(params, ("fnet", rest[0], kind), _conv(val) if kind == "kernel" else _vec(val))
-            elif re.fullmatch(r"layer\d", rest[0]):
-                # fnet.layerL.B.convX.weight  /  fnet.layerL.B.downsample.0.weight
-                layer, block = rest[0], rest[1]
-                name = f"{layer}_{block}"
-                if rest[2] == "downsample":
-                    kind = "kernel" if rest[4] == "weight" else "bias"
-                    _set(
-                        params,
-                        ("fnet", name, "downsample", kind),
-                        _conv(val) if kind == "kernel" else _vec(val),
-                    )
-                elif rest[2] in ("conv1", "conv2"):
-                    kind = "kernel" if rest[3] == "weight" else "bias"
-                    _set(
-                        params,
-                        ("fnet", name, rest[2], kind),
-                        _conv(val) if kind == "kernel" else _vec(val),
-                    )
-                # norm1/norm2/norm3: InstanceNorm2d, paramless in reference configs
+            _import_fnet(params, parts[1:], val)
             continue
 
-        # ---------------- corr mlp (flat names under the fused featurizer,
-        # inside the scanned iteration core) ----
+        # corr mlp: flat names under the fused featurizer in the scanned core
         if parts[0] == "corr_mlp":
             kind = "kernel" if parts[2] == "weight" else "bias"
             _set(
@@ -100,52 +143,61 @@ def import_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
             )
             continue
 
-        # ---------------- update transformer ----------------
         if parts[0] == "updateformer":
-            rest = parts[1:]
-            if rest[0] == "virual_tracks":
-                _set(params, ("iter_core", "updateformer", "virtual_tracks"), _vec(val))
-                continue
-            if rest[0] in ("input_transform", "flow_head", "vis_conf_head"):
-                kind = "kernel" if rest[1] == "weight" else "bias"
-                _set(
-                    params,
-                    ("iter_core", "updateformer", rest[0], kind),
-                    _linear(val) if kind == "kernel" else _vec(val),
-                )
-                continue
-            m = re.fullmatch(
-                r"(time_blocks|space_virtual_blocks|space_point2virtual_blocks|space_virtual2point_blocks)",
-                rest[0],
-            )
-            if m:
-                block = f"{rest[0]}_{rest[1]}"
-                sub = rest[2]  # attn / cross_attn / mlp / norm_context (norm1/2 paramless)
-                if sub in ("attn", "cross_attn"):
-                    proj = rest[3]  # to_q / to_kv / to_out
-                    kind = "kernel" if rest[4] == "weight" else "bias"
-                    _set(
-                        params,
-                        ("iter_core", "updateformer", block, sub, proj, kind),
-                        _linear(val) if kind == "kernel" else _vec(val),
-                    )
-                elif sub == "mlp":
-                    fc = rest[3]
-                    kind = "kernel" if rest[4] == "weight" else "bias"
-                    _set(
-                        params,
-                        ("iter_core", "updateformer", block, "mlp", fc, kind),
-                        _linear(val) if kind == "kernel" else _vec(val),
-                    )
-                elif sub == "norm_context":
-                    kind = "scale" if rest[3] == "weight" else "bias"
-                    _set(params, ("iter_core", "updateformer", block, "norm_context", kind), _vec(val))
-                continue
+            _import_updateformer(params, ("iter_core", "updateformer"), parts[1:], val)
+            continue
 
     return params
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+def import_torch_state_dict_v2(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert a reference CoTracker2 (v2/v2.1) state_dict into a flax params
+    dict matching `CoTracker2` (models/cotracker2.py). Reference module names
+    from cotracker.py:29-84: fnet, updateformer, norm (GroupNorm), track_feat_
+    updater (Sequential[Linear, GELU]), vis_predictor (Sequential[Linear])."""
+    params: Dict[str, Any] = {}
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    iter_prefix = ("window_core", "iter_core")
+
+    for key, val in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        if key in ("time_emb", "pos_emb") or key.endswith(".time_emb") or key.endswith(".pos_emb"):
+            continue
+
+        parts = key.split(".")
+
+        if parts[0] == "fnet":
+            _import_fnet(params, parts[1:], val)
+            continue
+        if parts[0] == "updateformer":
+            _import_updateformer(params, iter_prefix + ("updateformer",), parts[1:], val)
+            continue
+        if parts[0] == "norm":  # GroupNorm(1, latent) -> affine LayerNorm
+            kind = "scale" if parts[1] == "weight" else "bias"
+            _set(params, iter_prefix + ("norm", kind), _vec(val))
+            continue
+        if parts[0] == "track_feat_updater":  # Sequential index 0 = Linear
+            kind = "kernel" if parts[2] == "weight" else "bias"
+            _set(
+                params,
+                iter_prefix + ("track_feat_updater", kind),
+                _linear(val) if kind == "kernel" else _vec(val),
+            )
+            continue
+        if parts[0] == "vis_predictor":
+            kind = "kernel" if parts[2] == "weight" else "bias"
+            _set(
+                params,
+                ("window_core", "vis_predictor", kind),
+                _linear(val) if kind == "kernel" else _vec(val),
+            )
+            continue
+
+    return params
+
+
+def load_torch_checkpoint(path: str, v2: bool = False) -> Dict[str, Any]:
     """Load a reference .pth checkpoint file (plain state_dict or
     {"model": state_dict}) and convert it."""
     import torch
@@ -154,4 +206,6 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
         state_dict = torch.load(f, map_location="cpu", weights_only=False)
     if "model" in state_dict:
         state_dict = state_dict["model"]
+    if v2:
+        return import_torch_state_dict_v2(state_dict)
     return import_torch_state_dict(state_dict)

@@ -37,6 +37,10 @@ class EfficientUpdateFormer(nn.Module):
     linear_layer_for_vis_conf: bool = True
     dtype: Any = None
     use_pallas_attn: bool = False  # fused time-attention core (inference)
+    # Legacy (CoTracker2) mask conventions, reference cotracker.py:507-523:
+    # track_mask additionally QUERY-masks the points<-virtual attention
+    # (masked queries degrade to the uniform average of the virtual values).
+    v2_masking: bool = False
 
     @nn.compact
     def __call__(self, x, track_mask: Optional[jnp.ndarray] = None, add_space_attn: bool = True):
@@ -102,7 +106,10 @@ class EfficientUpdateFormer(nn.Module):
                 vt = virtual.transpose(0, 2, 1, 3)  # (B, T, V, C)
                 vt = v2p_blocks[j].virtual_from_points(vt, tokens, key_mask=track_mask)
                 vt = v_blocks[j](vt.reshape(B * T, V, C)).reshape(B, T, V, C)
-                tokens = p2v_blocks[j].points_from_virtual(tokens, vt)
+                tokens = p2v_blocks[j].points_from_virtual(
+                    tokens, vt,
+                    query_mask=track_mask if self.v2_masking else None,
+                )
                 virtual = vt.transpose(0, 2, 1, 3)
                 j += 1
         flow = nn.Dense(

@@ -48,12 +48,11 @@ class CoTrackerPredictor:
         v2: bool = False,
         model_resolution: Tuple[int, int] = (384, 512),
     ):
-        if v2:
-            raise NotImplementedError("v2 legacy architecture is not supported")
+        self.v2 = v2
         self.support_grid_size = 6
         self.model, self.params = build_cotracker(
             checkpoint, offline=offline, window_len=window_len, dtype=dtype,
-            model_resolution=model_resolution,
+            model_resolution=model_resolution, v2=v2,
         )
         self.interp_shape = self.model.model_resolution
         self._jit_cache = {}
@@ -197,7 +196,7 @@ class CoTrackerPredictor:
         video = video.transpose(0, 1, 3, 4, 2)  # B T H W 3
         video = resize_bilinear(video, (ih, iw), align_corners=True)
 
-        tracks, vis, conf, _ = self.model.apply(
+        tracks, vis, *_ = self.model.apply(
             {"params": self.params}, video, queries, iters=6, track_mask=track_mask
         )
 
@@ -253,12 +252,11 @@ class CoTrackerOnlinePredictor:
         v2: bool = False,
         model_resolution: Tuple[int, int] = (384, 512),
     ):
-        if v2:
-            raise NotImplementedError("v2 legacy architecture is not supported")
+        self.v2 = v2
         self.support_grid_size = 6
         self.model, self.params = build_cotracker(
             checkpoint, offline=False, window_len=window_len, dtype=dtype,
-            model_resolution=model_resolution,
+            model_resolution=model_resolution, v2=v2,
         )
         self.interp_shape = self.model.model_resolution
         self.step = self.model.window_len // 2
@@ -325,13 +323,14 @@ class CoTrackerOnlinePredictor:
             pad = np.repeat(chunk[:, -1:], S - T_true, axis=1)
             chunk = np.concatenate([chunk, pad], axis=1)
 
+        model_cls = type(self.model)
         if self._state is None:
             self._state = self.model.apply(
                 {"params": self.params},
                 chunk.shape[0],
                 self._queries.shape[1],
                 self.capacity,
-                method=CoTrackerThree.online_init,
+                method=model_cls.online_init,
             )
         if self._jit_step is None:
             def step_fn(params, state, chunk, queries, track_mask):
@@ -344,20 +343,27 @@ class CoTrackerOnlinePredictor:
                     queries,
                     iters=6,
                     track_mask=track_mask,
-                    method=CoTrackerThree.online_step,
+                    method=model_cls.online_step,
                 )
 
             self._jit_step = jax.jit(step_fn)
 
         ind_before = int(self._state.ind)
-        self._state, coords, vis, conf = self._jit_step(
+        out = self._jit_step(
             self.params, self._state, jnp.asarray(chunk), self._queries, self._track_mask
         )
+        if self.v2:
+            self._state, coords, vis = out
+            conf = None
+        else:
+            self._state, coords, vis, conf = out
         self._frames_seen = min(ind_before + T_true, self.capacity)
 
         n = self._n_user
         tracks = coords[:, : self._frames_seen, :n]
-        visibility = (vis * conf)[:, : self._frames_seen, :n]
+        visibility = vis[:, : self._frames_seen, :n]
+        if conf is not None:  # v3 fuses vis * conf (reference predictor.py:297)
+            visibility = visibility * conf[:, : self._frames_seen, :n]
         scale = jnp.asarray(
             [(W0 - 1) / (self.interp_shape[1] - 1), (H0 - 1) / (self.interp_shape[0] - 1)],
             jnp.float32,

@@ -156,6 +156,47 @@ class TeacherEnsemble:
         return np.asarray(tracks)[:, :, :n_user], np.asarray(vis)[:, :, :n_user]
 
 
+def default_teacher_ensemble(
+    v21_checkpoint=None,
+    v3_online_checkpoint=None,
+    v3_offline_checkpoint=None,
+    tapir_checkpoint=None,
+    support_grid_size: int = 5,
+    seed: int = 0,
+) -> "TeacherEnsemble":
+    """Build the reference's teacher ensemble — [CoTracker2.1-online,
+    CoTracker3-online, CoTracker3-offline, TAPIR] (train_on_real_data.py:
+    396-438) — from local checkpoint paths. Teachers whose checkpoint is None
+    are skipped (a random-weight teacher is useless for distillation).
+
+    Each teacher is wrapped as an EvaluationPredictor in joint mode, returning
+    (tracks, vis-probabilities) so the distillation threshold (vis > 0.9,
+    reference :154) applies downstream."""
+    from cotracker_tpu.models.build import build_cotracker
+    from cotracker_tpu.evaluation.evaluation_predictor import EvaluationPredictor
+
+    def wrap(model, params):
+        p = EvaluationPredictor(
+            model, params, grid_size=0, local_grid_size=0, single_point=False
+        )
+        return lambda video, q: p(video, q)
+
+    teachers = []
+    if v21_checkpoint is not None:
+        teachers.append(wrap(*build_cotracker(v21_checkpoint, v2=True, window_len=16)))
+    if v3_online_checkpoint is not None:
+        teachers.append(wrap(*build_cotracker(v3_online_checkpoint, offline=False)))
+    if v3_offline_checkpoint is not None:
+        teachers.append(wrap(*build_cotracker(v3_offline_checkpoint, offline=True)))
+    if tapir_checkpoint is not None:
+        from cotracker_tpu.evaluation.bootstap_predictor import TAPIRPredictor
+
+        teachers.append(TAPIRPredictor(tapir_checkpoint))
+    if not teachers:
+        raise ValueError("no teacher checkpoints given")
+    return TeacherEnsemble(teachers, support_grid_size=support_grid_size, seed=seed)
+
+
 def distill_step_fn(model, tx, cfg: DistillConfig):
     loss_fn = make_distill_loss(model, cfg)
 

@@ -188,3 +188,107 @@ class TestModelParity:
         )
         np.testing.assert_allclose(_np(pc)[:, :, :N], _np(base_coords), rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(_np(pv)[:, :, :N], _np(base_vis), rtol=1e-4, atol=1e-4)
+
+
+@requires_reference
+class TestCoTracker2Parity:
+    """Golden parity of the legacy v2/v2.1 family (models/cotracker2.py) vs
+    reference CoTracker2 (cotracker.py:29-384) with identical random weights."""
+
+    def _make_pair(self, window_len=8, res=(48, 64)):
+        from cotracker.models.core.cotracker.cotracker import CoTracker2 as RefV2
+        from cotracker_tpu.models.cotracker2 import CoTracker2
+        from cotracker_tpu.models.checkpoint import import_torch_state_dict_v2
+
+        torch.manual_seed(11)
+        ref = RefV2(window_len=window_len, stride=4, model_resolution=res).eval()
+        params = import_torch_state_dict_v2(ref.state_dict())
+        ours = CoTracker2(window_len=window_len, model_resolution=res)
+        return ref, ours, params
+
+    def _data(self, B=1, T=12, H=48, W=64, N=4, seed=12):
+        rng = np.random.default_rng(seed)
+        video = (rng.random((B, T, 3, H, W)) * 255).astype(np.float32)
+        queries = np.stack(
+            [
+                rng.integers(0, T, (B, N)).astype(np.float32),
+                rng.random((B, N)) * (W - 1),
+                rng.random((B, N)) * (H - 1),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        return video, queries
+
+    def test_offline_forward(self):
+        ref, ours, params = self._make_pair()
+        video, queries = self._data()
+
+        with torch.no_grad():
+            ref_coords, ref_vis, _ = ref(
+                torch.from_numpy(video), torch.from_numpy(queries), iters=2
+            )
+
+        coords, vis, _ = ours.apply(
+            {"params": params},
+            jnp.asarray(video.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(queries),
+            iters=2,
+        )
+        np.testing.assert_allclose(_np(coords), ref_coords.numpy(), rtol=1e-3, atol=2e-2)
+        np.testing.assert_allclose(_np(vis), ref_vis.numpy(), rtol=1e-3, atol=1e-3)
+
+    def test_online_matches_reference_streaming(self):
+        from cotracker_tpu.models.cotracker2 import CoTracker2
+
+        ref, ours, params = self._make_pair()
+        video, queries = self._data(T=16, seed=13)
+        S, step = 8, 4
+
+        ref.init_video_online_processing()
+        with torch.no_grad():
+            for k in range(3):  # chunks [0:8], [4:12], [8:16]
+                chunk = torch.from_numpy(video[:, k * step : k * step + S])
+                ref_coords, ref_vis, _ = ref(
+                    chunk, torch.from_numpy(queries), iters=2, is_online=True
+                )
+
+        state = ours.apply({"params": params}, 1, queries.shape[1], 32,
+                           method=CoTracker2.online_init)
+        vjax = jnp.asarray(video.transpose(0, 1, 3, 4, 2))
+        for k in range(3):
+            state, coords, vis = ours.apply(
+                {"params": params}, state, vjax[:, k * step : k * step + S],
+                jnp.asarray(queries), iters=2, method=CoTracker2.online_step,
+            )
+        np.testing.assert_allclose(
+            _np(coords)[:, :16], ref_coords.numpy()[:, :16], rtol=1e-3, atol=2e-2
+        )
+        np.testing.assert_allclose(
+            _np(vis)[:, :16], ref_vis.numpy()[:, :16], rtol=1e-3, atol=1e-3
+        )
+
+    def test_offline_padding_invariance(self):
+        _, ours, params = self._make_pair()
+        video, queries = self._data(seed=14)
+        B, N, PAD = 1, queries.shape[1], 5
+        vjax = jnp.asarray(video.transpose(0, 1, 3, 4, 2))
+        rng = np.random.default_rng(15)
+
+        base_coords, base_vis, _ = ours.apply(
+            {"params": params}, vjax, jnp.asarray(queries), iters=2
+        )
+        qpad = np.concatenate(
+            [queries, np.stack(
+                [np.zeros((B, PAD)), rng.random((B, PAD)) * 63, rng.random((B, PAD)) * 47],
+                axis=-1,
+            ).astype(np.float32)],
+            axis=1,
+        )
+        mask = jnp.asarray(
+            np.concatenate([np.ones((B, N)), np.zeros((B, PAD))], axis=1).astype(bool)
+        )
+        pc, pv, _ = ours.apply(
+            {"params": params}, vjax, jnp.asarray(qpad), iters=2, track_mask=mask
+        )
+        np.testing.assert_allclose(_np(pc)[:, :, :N], _np(base_coords), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(_np(pv)[:, :, :N], _np(base_vis), rtol=1e-4, atol=1e-4)
