@@ -1,27 +1,79 @@
 """Track visualization: draw predicted tracks over video frames, save mp4/pngs.
 
 Functional equivalent of the reference Visualizer (utils/visualizer.py:62-363):
-rainbow / time-based / segmentation coloring, motion traces of configurable
-length, occlusion styling, mp4 export (cv2) and frame access for notebooks.
+rainbow (color by initial y) / cool (color by time) / optical_flow coloring,
+segmentation-mask coloring, motion traces of configurable length, occlusion
+styling, ground-truth overlays, camera-motion compensation, mp4 export (cv2),
+and a TensorBoard `add_video` hook for training-time visualization.
 """
 
 import os
 import numpy as np
 
 
-def _colormap_rainbow(n: int) -> np.ndarray:
-    """(n, 3) uint8 rainbow colors (matplotlib-free HSV sweep)."""
+def read_video_from_path(path):
+    """Decode a video file to (T, H, W, 3) uint8 RGB (reference
+    visualizer.py:19-28; cv2 instead of imageio — no ffmpeg backends here)."""
     import cv2
 
-    h = (np.linspace(0, 179, n, endpoint=False)).astype(np.uint8)
-    hsv = np.stack([h, np.full(n, 255, np.uint8), np.full(n, 255, np.uint8)], axis=1)
-    return cv2.cvtColor(hsv[None], cv2.COLOR_HSV2RGB)[0]
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return np.stack(frames) if frames else None
+
+
+def _colormap(name: str, x):
+    """Minimal matplotlib-free colormaps. x in [0, 1] (scalar or array);
+    returns float RGB in [0, 255]."""
+    x = np.clip(np.asarray(x, np.float32), 0.0, 1.0)
+    if name == "cool":  # matplotlib 'cool': (x, 1-x, 1) in RGB
+        rgb = np.stack([x, 1.0 - x, np.ones_like(x)], axis=-1)
+    else:  # 'gist_rainbow'-like HSV sweep red->magenta
+        import cv2
+
+        h = (x * 300.0 / 2.0).astype(np.uint8)  # OpenCV hue is [0,180)
+        hsv = np.stack(
+            [h, np.full_like(h, 255), np.full_like(h, 255)], axis=-1
+        ).astype(np.uint8)
+        return cv2.cvtColor(hsv.reshape(-1, 1, 3), cv2.COLOR_HSV2RGB).reshape(
+            x.shape + (3,)
+        ).astype(np.float32)
+    return rgb * 255.0
+
+
+def _flow_to_color(flow):
+    """Optical-flow color coding (Baker et al. wheel, as used by the
+    reference's flow_vis dependency, visualizer.py:191-193): hue = flow
+    direction, saturation = magnitude. flow (..., 2) -> uint8 RGB."""
+    import cv2
+
+    fx, fy = flow[..., 0], flow[..., 1]
+    mag = np.sqrt(fx * fx + fy * fy)
+    ang = np.arctan2(-fy, -fx) / np.pi  # [-1, 1]
+    denom = max(mag.max(), 1e-6)
+    hsv = np.stack(
+        [
+            ((ang + 1.0) * 90.0).astype(np.uint8),  # [0, 180)
+            np.full(mag.shape, 255, np.uint8),
+            np.clip(mag / denom * 255.0, 0, 255).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    shape = hsv.shape[:-1]
+    rgb = cv2.cvtColor(hsv.reshape(-1, 1, 3), cv2.COLOR_HSV2RGB)
+    return rgb.reshape(shape + (3,))
 
 
 class Visualizer:
     def __init__(
         self,
         save_dir: str = "./results",
+        grayscale: bool = False,
         pad_value: int = 0,
         fps: int = 10,
         mode: str = "rainbow",  # rainbow / cool / optical_flow
@@ -30,6 +82,7 @@ class Visualizer:
         tracks_leave_trace: int = 0,  # 0: none, -1: full history, k: last k
     ):
         self.save_dir = save_dir
+        self.grayscale = grayscale
         self.pad_value = pad_value
         self.fps = fps
         self.mode = mode
@@ -42,71 +95,188 @@ class Visualizer:
         video,
         tracks,
         visibility=None,
+        gt_tracks=None,
         segm_mask=None,
         filename: str = "video",
-        save_video: bool = True,
+        writer=None,  # TensorBoard SummaryWriter (training-time hook)
+        step: int = 0,
         query_frame: int = 0,
+        save_video: bool = True,
+        compensate_for_camera_motion: bool = False,
+        opacity: float = 1.0,
     ):
         """video (B, T, 3, H, W) [0,255]; tracks (B, T, N, 2); visibility
-        (B, T, N) optional. Returns the rendered frames (T, H, W, 3) uint8."""
+        (B, T, N) optional; segm_mask (B, 1, H, W) sampled at the tracks'
+        query_frame coords (reference visualizer.py:102-106); gt_tracks
+        (B, T, N, 2) drawn as red crosses. Returns rendered frames
+        (T, H, W, 3) uint8."""
         import cv2
 
+        if compensate_for_camera_motion:
+            assert segm_mask is not None
         video = np.asarray(video)[0].transpose(0, 2, 3, 1).astype(np.uint8).copy()
-        tracks = np.asarray(tracks)[0]
+        tracks = np.asarray(tracks)[0].astype(np.float32)
         vis = None if visibility is None else np.asarray(visibility)[0]
+        gt = None if gt_tracks is None else np.asarray(gt_tracks)[0]
+
+        if segm_mask is not None:
+            # per-track segmentation label = mask value at the query coords
+            m = np.asarray(segm_mask).reshape(video.shape[1], video.shape[2])
+            c = np.round(tracks[query_frame]).astype(int)
+            cx = np.clip(c[:, 0], 0, m.shape[1] - 1)
+            cy = np.clip(c[:, 1], 0, m.shape[0] - 1)
+            segm = m[cy, cx]
+        else:
+            segm = None
+
+        if self.grayscale:
+            g = video.mean(axis=-1, keepdims=True).astype(np.uint8)
+            video = np.repeat(g, 3, axis=-1)
         if self.pad_value:
             p = self.pad_value
-            video = np.pad(video, ((0, 0), (p, p), (p, p), (0, 0)))
+            video = np.pad(
+                video, ((0, 0), (p, p), (p, p), (0, 0)), constant_values=255
+            )
             tracks = tracks + p
+            if gt is not None:
+                gt = gt + p
 
         T, N = tracks.shape[:2]
-        if self.mode == "rainbow":
-            # color by initial position: sort by x+y for a smooth sweep
-            order = np.argsort(tracks[query_frame, :, 0] + tracks[query_frame, :, 1])
-            colors = np.empty((N, 3), np.uint8)
-            colors[order] = _colormap_rainbow(N)
-        elif segm_mask is not None:
-            segm = np.asarray(segm_mask).reshape(-1)
-            colors = np.where(segm[:, None] > 0, [255, 0, 0], [0, 0, 255]).astype(np.uint8)
-        else:
-            colors = np.tile(np.array([[255, 0, 0]], np.uint8), (N, 1))
 
-        frames = []
+        # ---- per-(frame, track) colors (reference visualizer.py:187-244)
+        if self.mode == "optical_flow":
+            colors = _flow_to_color(tracks - tracks[query_frame][None]).astype(
+                np.float32
+            )  # (T, N, 3)
+        elif segm is None:
+            if self.mode == "rainbow":
+                y = tracks[query_frame, :, 1]
+                lo, hi = float(y.min()), float(y.max())
+                norm = (y - lo) / max(hi - lo, 1e-6)
+                colors = np.broadcast_to(
+                    _colormap("rainbow", norm)[None], (T, N, 3)
+                ).copy()
+            else:  # color changes with time
+                tc = _colormap("cool", np.arange(T, dtype=np.float32) / max(T, 1))
+                colors = np.broadcast_to(tc[:, None, :], (T, N, 3)).copy()
+        else:
+            if self.mode == "rainbow":
+                colors = np.full((T, N, 3), 255.0, np.float32)
+                fg = segm > 0
+                if fg.any():
+                    y = tracks[0, fg, 1]
+                    lo, hi = float(y.min()), float(y.max())
+                    norm = (tracks[0, :, 1] - lo) / max(hi - lo, 1e-6)
+                    cfg = _colormap("rainbow", norm)
+                    colors[:, fg] = cfg[None][:, fg]
+            else:  # color by segmentation class
+                c = np.where(
+                    (segm > 0)[:, None],
+                    _colormap("cool", np.ones(N)),
+                    _colormap("cool", np.zeros(N)),
+                )
+                colors = np.broadcast_to(c[None], (T, N, 3)).copy()
+
+        alpha = float(np.clip(opacity, 0.0, 1.0))
+        frames = [f.copy() for f in video]
+
+        # ---- traces (reference visualizer.py:246-274)
+        if self.tracks_leave_trace != 0:
+            for t in range(query_frame + 1, T):
+                first = (
+                    max(0, t - self.tracks_leave_trace)
+                    if self.tracks_leave_trace >= 0
+                    else 0
+                )
+                cur = tracks[first : t + 1]
+                cc = colors[first : t + 1]
+                keep = slice(None)
+                if compensate_for_camera_motion:
+                    bg = segm <= 0
+                    diff = (cur[:, bg] - tracks[t : t + 1, bg]).mean(1)[:, None]
+                    cur = cur - diff
+                    keep = segm > 0
+                overlay = frames[t].copy()
+                for s in range(cur.shape[0] - 1):
+                    pts0, pts1 = cur[s, keep], cur[s + 1, keep]
+                    cols = cc[s, keep]
+                    for n in range(pts0.shape[0]):
+                        p0 = tuple(np.round(pts0[n]).astype(int))
+                        p1 = tuple(np.round(pts1[n]).astype(int))
+                        cv2.line(
+                            overlay, p0, p1,
+                            tuple(int(v) for v in cols[n]), self.linewidth,
+                            cv2.LINE_AA,
+                        )
+                # traces blend at 50% like the reference (visualizer.py:295-328)
+                frames[t] = cv2.addWeighted(overlay, 0.5, frames[t], 0.5, 0)
+                if gt is not None:
+                    self._draw_gt(frames[t], gt[first : t + 1])
+
+        # ---- points (reference visualizer.py:276-291)
         for t in range(T):
-            frame = video[t].copy()
-            # traces
-            if self.tracks_leave_trace != 0 and t > 0:
-                start = 0 if self.tracks_leave_trace < 0 else max(0, t - self.tracks_leave_trace)
-                for s in range(start, t):
-                    for n in range(N):
-                        if vis is not None and not (vis[s, n] and vis[s + 1, n]):
-                            continue
-                        p0 = tuple(np.round(tracks[s, n]).astype(int))
-                        p1 = tuple(np.round(tracks[s + 1, n]).astype(int))
-                        cv2.line(frame, p0, p1, tuple(int(c) for c in colors[n]), 1)
-            # points
+            base = frames[t].copy()
             for n in range(N):
+                x, y = tracks[t, n]
+                if x == 0 and y == 0:  # reference skips the (0,0) sentinel
+                    continue
+                if compensate_for_camera_motion and segm is not None and segm[n] <= 0:
+                    continue
                 visible = True if vis is None else bool(vis[t, n])
-                x, y = np.round(tracks[t, n]).astype(int)
-                if 0 <= x < frame.shape[1] and 0 <= y < frame.shape[0]:
-                    cv2.circle(
-                        frame,
-                        (int(x), int(y)),
-                        self.linewidth + 1,
-                        tuple(int(c) for c in colors[n]),
-                        thickness=-1 if visible else 1,
-                    )
-            frames.append(frame)
+                cv2.circle(
+                    frames[t],
+                    (int(round(x)), int(round(y))),
+                    int(self.linewidth * 2),
+                    tuple(int(v) for v in colors[t, n]),
+                    thickness=-1 if visible else 1,
+                    lineType=cv2.LINE_AA,
+                )
+            if alpha < 1.0:
+                frames[t] = cv2.addWeighted(frames[t], alpha, base, 1 - alpha, 0)
 
         if self.show_first_frame > 1:
-            frames = [frames[0]] * (self.show_first_frame - 1) + frames
+            frames = [frames[0]] * self.show_first_frame + frames[1:]
 
+        out = np.stack(frames)
         if save_video:
-            os.makedirs(self.save_dir, exist_ok=True)
-            path = os.path.join(self.save_dir, f"{filename}.mp4")
-            h, w = frames[0].shape[:2]
-            vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h))
-            for f in frames:
-                vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
-            vw.release()
-        return np.stack(frames)
+            self.save_video(out, filename=filename, writer=writer, step=step)
+        return out
+
+    def _draw_gt(self, frame, gt_tracks):
+        """Ground-truth tracks as red crosses (reference visualizer.py:330-363)."""
+        import cv2
+
+        for t in range(gt_tracks.shape[0]):
+            for n in range(gt_tracks.shape[1]):
+                x, y = gt_tracks[t, n]
+                if x <= 0 or y <= 0:
+                    continue
+                x, y = int(round(x)), int(round(y))
+                L = self.linewidth * 3
+                cv2.line(frame, (x - L, y - L), (x + L, y + L), (255, 0, 0), self.linewidth, cv2.LINE_AA)
+                cv2.line(frame, (x + L, y - L), (x - L, y + L), (255, 0, 0), self.linewidth, cv2.LINE_AA)
+
+    def save_video(self, frames, filename: str, writer=None, step: int = 0):
+        """frames (T, H, W, 3) uint8. With a TensorBoard writer, logs via
+        add_video (reference visualizer.py:136-143); else writes an mp4."""
+        if writer is not None:
+            import torch
+
+            writer.add_video(
+                filename,
+                torch.from_numpy(frames).permute(0, 3, 1, 2)[None],
+                global_step=step,
+                fps=self.fps,
+            )
+            return None
+        import cv2
+
+        os.makedirs(self.save_dir, exist_ok=True)
+        path = os.path.join(self.save_dir, f"{filename}.mp4")
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h))
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+        print(f"Video saved to {path}")
+        return path

@@ -73,3 +73,41 @@ class TestVisualizer:
         assert frames.shape[-1] == 3
         out = os.path.join(tmp_path, "t.mp4")
         assert os.path.exists(out) and os.path.getsize(out) > 0
+
+    @pytest.mark.parametrize("mode", ["rainbow", "cool", "optical_flow"])
+    def test_color_modes(self, tmp_path, mode):
+        rng = np.random.default_rng(2)
+        T, H, W, N = 5, 40, 56, 4
+        video = (rng.random((1, T, 3, H, W)) * 255).astype(np.float32)
+        tracks = (rng.random((1, T, N, 2)) * [W - 1, H - 1] + 1).astype(np.float32)
+        v = Visualizer(save_dir=str(tmp_path), mode=mode, show_first_frame=0)
+        frames = v.visualize(video, tracks, save_video=False)
+        assert frames.shape == (T, H, W, 3) and frames.dtype == np.uint8
+
+    def test_segm_mask_and_camera_motion(self, tmp_path):
+        rng = np.random.default_rng(3)
+        T, H, W, N = 5, 40, 56, 6
+        video = (rng.random((1, T, 3, H, W)) * 255).astype(np.float32)
+        tracks = (rng.random((1, T, N, 2)) * [W - 1, H - 1] + 1).astype(np.float32)
+        segm = np.zeros((1, 1, H, W), np.uint8)
+        segm[..., :, : W // 2] = 1  # left half = foreground
+        gt = tracks + 1.5
+        v = Visualizer(save_dir=str(tmp_path), tracks_leave_trace=-1)
+        frames = v.visualize(
+            video, tracks, gt_tracks=gt, segm_mask=segm,
+            compensate_for_camera_motion=True, save_video=False, opacity=0.6,
+        )
+        assert frames.shape[1:] == (H, W, 3)
+
+    def test_tensorboard_writer_hook(self, tmp_path):
+        torch = pytest.importorskip("torch")  # noqa: F841
+        from torch.utils.tensorboard import SummaryWriter
+
+        rng = np.random.default_rng(4)
+        video = (rng.random((1, 4, 3, 32, 40)) * 255).astype(np.float32)
+        tracks = (rng.random((1, 4, 3, 2)) * [39, 31]).astype(np.float32)
+        writer = SummaryWriter(log_dir=str(tmp_path))
+        v = Visualizer(save_dir=str(tmp_path))
+        v.visualize(video, tracks, filename="tb", writer=writer, step=1)
+        writer.close()
+        assert any(f.startswith("events") for f in os.listdir(tmp_path))
