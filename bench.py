@@ -46,6 +46,10 @@ def main():
         # the Pallas T-amortized correlation kernel (inference hot path);
         # CPU/grad paths use the XLA formulation instead
         use_pallas_corr=on_tpu,
+        # int8 window transfer: halves the scattered-DMA bytes that bound the
+        # corr kernel (exact 1/128-scale dequant; <=0.4% feature quantization
+        # on the L2-normalized maps)
+        corr_quant_int8=on_tpu,
         use_pallas_attn=on_tpu,
     )
     params = init_params(model)

@@ -15,25 +15,37 @@ def build_cotracker(
     dtype: Any = jnp.float32,
     model_resolution: Tuple[int, int] = (384, 512),
     v2: bool = False,
+    fast: bool = False,
 ):
     """Build a CoTracker model definition and parameters (mirrors the
     reference factory's v2/offline/online switch, build_cotracker.py:26-45).
 
     checkpoint: path to a reference .pth state_dict (imported via
     models/checkpoint.py) or None for fresh random init.
+    fast: enable the TPU inference hot path — bf16 compute (f32 params and
+    coords/vis/conf carries), the Pallas correlation and time-attention
+    kernels, int8 window transfer, and N-chunking. Inference-only (the
+    Pallas kernels have no gradient rules); numerics differ from the f32
+    XLA path at bf16/quantization noise level.
     Returns (model_def, params).
     """
     if v2:
         from cotracker_tpu.models.cotracker2 import CoTracker2
 
         model = CoTracker2(
-            window_len=window_len or 8, dtype=dtype, model_resolution=model_resolution
+            window_len=window_len or 8,
+            dtype=jnp.bfloat16 if fast else dtype,
+            model_resolution=model_resolution,
         )
     else:
         if window_len is None:
             window_len = 60 if offline else 16
+        fast_kw = dict(
+            dtype=jnp.bfloat16, corr_chunk=2048,
+            use_pallas_corr=True, corr_quant_int8=True, use_pallas_attn=True,
+        ) if fast else dict(dtype=dtype)
         model = CoTrackerThree(
-            window_len=window_len, dtype=dtype, model_resolution=model_resolution
+            window_len=window_len, model_resolution=model_resolution, **fast_kw
         )
 
     if checkpoint is not None:

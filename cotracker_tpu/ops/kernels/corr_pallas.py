@@ -45,42 +45,70 @@ from cotracker_tpu.ops.corr import window_starts_and_weights
 F32 = jnp.float32
 
 
-def build_shifted_fmaps(fmaps, radius: int, compute_dtype=jnp.bfloat16):
-    """Pad + stack the 8 x-shifted copies the kernel's aligned DMAs need.
+def _shift_count(quant_int8: bool) -> int:
+    """X-shift copies needed for aligned window DMAs. 8 for both bf16 and
+    int8: Mosaic's HBM memref tiling keeps an 8-row sublane tile for 8-bit
+    data too ((8,128)(4,1) packing) — verified by value-parity on hardware."""
+    del quant_int8
+    return 8
 
-    fmaps (B, T, H, W, C) -> (8*B*T, H+2*pad, W+2*pad, C) where copy m holds
+
+def build_shifted_fmaps(fmaps, radius: int, compute_dtype=jnp.bfloat16, quant_int8: bool = False):
+    """Pad + stack the x-shifted copies the kernel's aligned DMAs need.
+
+    fmaps (B, T, H, W, C) -> (K*B*T, H+2*pad, W+2*pad, C) where copy m holds
     columns shifted left by m, so a window starting at unaligned column wsx
-    (relative to the pad-8 map) equals copy (wsx % 8) sliced at 8*(wsx // 8).
-    Returned flattened 4D (the kernel's DMA source layout) so the array is
-    built in its final layout exactly once. Call once per forward and pass
-    via `prepacked=True` — inside the update scan this would otherwise be
-    rebuilt every iteration.
+    (relative to the pad-K map) equals copy (wsx % K) sliced at K*(wsx // K).
+    K is the HBM sublane tile (8 for bf16, 32 for int8). Returned flattened
+    4D (the kernel's DMA source layout) so the array is built in its final
+    layout exactly once. Call once per forward and pass via `prepacked=True`
+    — inside the update scan this would otherwise be rebuilt every iteration.
+
+    quant_int8: store windows as int8 = clip(round(f * 128), -127, 127) —
+    bounded for CoTracker3's per-pixel L2-normalized features (|channel| <= 1;
+    only the rare saturated channels lose 0.8% to the clip) — halving the
+    scattered-DMA bytes of the hot loop. The power-of-two scale makes the
+    1/128 dequant (folded into the support operand by the wrapper) exact in
+    bf16/f32.
     """
     B, T, H, W, C = fmaps.shape
     pad = 2 * radius + 2
-    shifts = 8  # the (8, 128) HBM tile's sublane size, not a model constant
+    shifts = _shift_count(quant_int8)
     padded = jnp.pad(
         fmaps, ((0, 0), (0, 0), (pad, pad), (pad, pad + shifts - 1), (0, 0)), mode="edge"
-    ).astype(compute_dtype)
+    )
+    if quant_int8:
+        padded = jnp.clip(
+            jnp.round(padded.astype(jnp.float32) * 128.0), -127.0, 127.0
+        ).astype(jnp.int8)
+    else:
+        padded = padded.astype(compute_dtype)
     width = W + 2 * pad
     out = jnp.stack([padded[:, :, :, m : m + width] for m in range(shifts)])
-    return out.reshape(8 * B * T, H + 2 * pad, width, C)
+    return out.reshape(shifts * B * T, H + 2 * pad, width, C)
 
 
-def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, win, sems,
-            *, Tp, WIN, C, S, out_dtype):
+def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, *rest,
+            Tp, WIN, C, S, out_dtype, shifts, compute_dtype, g_int8):
     """starts_* (1, Tp, 3) int32 SMEM: (flat frame index, wsy, wsx) per frame.
-    sup (1, S, C) VMEM. fm_hbm (B*T, Hp, Wp, C) stays in HBM. win scratch
-    (2, WIN, Tp*WIN, C); sems (2, Tp) DMA semaphores."""
+    sup (1, S, C) VMEM. fm_hbm (B*T, Hp, Wp, C) stays in HBM (bf16 or int8).
+    win scratch (2, WIN, Tp*WIN, C); sems (2, Tp) DMA semaphores. With g_int8,
+    an extra (1, NP) f32 SMEM output (whole-array block, scalar store at
+    [0, p]) carries the per-point dequant scales."""
+    if g_int8:
+        scale_ref, win, sems = rest
+    else:
+        win, sems = rest
     p = pl.program_id(0)
     n_pts = pl.num_programs(0)
 
     def dma(slot, t, st_ref):
         ft = st_ref[0, t, 0]
         sy = st_ref[0, t, 1]
-        # the wrapper aligns x starts to the (8, 128) HBM tile via the
-        # shifted-copy trick; Mosaic still needs the divisibility hint
-        sx = pl.multiple_of(st_ref[0, t, 2], 8)
+        # the wrapper aligns x starts to the HBM sublane tile (8 for bf16,
+        # 32 for int8) via the shifted-copy trick; Mosaic still needs the
+        # divisibility hint
+        sx = pl.multiple_of(st_ref[0, t, 2], shifts)
         return pltpu.make_async_copy(
             fm_hbm.at[ft, pl.ds(sy, WIN), pl.ds(sx, WIN), :],
             win.at[slot, :, pl.ds(t * WIN, WIN), :],
@@ -112,6 +140,8 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, win, sems,
         dma(slot, t, starts_cur_ref).wait()
 
     wv = win[slot]  # (WIN, Tp*WIN, C)
+    if wv.dtype != compute_dtype:  # int8 windows: dequant rides the support
+        wv = wv.astype(compute_dtype)
     win2 = wv.reshape(WIN * Tp * WIN, C)  # rows r = a*(Tp*WIN) + t*WIN + b
     # transposed contraction: the long window axis lands on LANES of the
     # output, so the (NP, S, R) result tiles without padding — the natural
@@ -120,7 +150,16 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, win, sems,
     g = jax.lax.dot_general(
         sup_ref[0], win2, (((1,), (1,)), ((), ())), preferred_element_type=F32
     )  # (S, WIN*Tp*WIN)
-    out_ref[0] = g.astype(out_dtype)
+    if g_int8:
+        # per-point dynamic quantization of the correlation volume: halves
+        # the g write here AND the epilogue's read. For L2-normalized
+        # features |g| <= 1 (Cauchy-Schwarz), so the relative step is
+        # ~1/254 of the per-point max — the same order as bf16 rounding.
+        scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-20) * (1.0 / 127.0)
+        scale_ref[0, p] = scale
+        out_ref[0] = jnp.round(g * (1.0 / scale)).astype(jnp.int8)
+    else:
+        out_ref[0] = g.astype(out_dtype)
 
 
 def fused_corr_embs_pallas(
@@ -137,37 +176,47 @@ def fused_corr_embs_pallas(
     interpret: bool = False,
     prepacked: bool = False,
     track_major: bool = False,
+    quant_int8: bool = False,
 ):
     """Same contract as ops.corr.fused_corr_embs, hot path as a Pallas kernel.
 
     fmaps (B, T, H, W, C) — or, with prepacked=True, the output of
-    build_shifted_fmaps (8*B*T, H+2p, W+2p, C), letting callers hoist the
+    build_shifted_fmaps (K*B*T, H+2p, W+2p, C), letting callers hoist the
     padded-copies build out of an update-iteration scan.
     support (B, N, P*P, C); coords (B, T, N, 2); chunk bounds the transient
     (n, 49, 8*T*8) correlation block over N. Returns (B, T, N, Do), or
     (B, N, T, Do) with track_major=True (the layout rides the MLP einsum).
+
+    quant_int8: window data moves through HBM as int8 (see
+    build_shifted_fmaps) — halves the scattered-DMA bytes that bound this
+    kernel. Windows carry clip(round(f*128), -127, 127); the exact 1/128
+    dequant scale is folded into the support operand before the contraction.
     """
     P = 2 * radius + 1
     WIN = P + 1
     S = P * P
     pad = 2 * radius + 2
+    shifts = _shift_count(quant_int8)
 
     B, T, N = coords.shape[:3]
     if prepacked:
         _, Hp, Wp, C = fmaps.shape
         H, W = Hp - 2 * pad, Wp - 2 * pad
-        fmaps_p = fmaps.astype(compute_dtype)
+        fmaps_p = fmaps if quant_int8 else fmaps.astype(compute_dtype)
     else:
         B, T, H, W, C = fmaps.shape
-        fmaps_p = build_shifted_fmaps(fmaps, radius, compute_dtype)
+        fmaps_p = build_shifted_fmaps(fmaps, radius, compute_dtype, quant_int8=quant_int8)
         Hp, Wp = H + 2 * pad, W + 2 * pad
+    if quant_int8:
+        assert fmaps_p.dtype == jnp.int8, fmaps_p.dtype
+        support = support.astype(jnp.float32) * (1.0 / 128.0)
     wsx, wsy, wx, wy = window_starts_and_weights(coords, radius, H, W)  # (B, T, N)
 
     # per-(point, frame) DMA descriptors: flat (shift-copy, frame) index +
-    # aligned window origin. Copy m = wsx % 8 at aligned start 8*(wsx // 8)
+    # aligned window origin. Copy m = wsx % K at aligned start K*(wsx // K)
     # reproduces the exact unaligned window.
-    m = jnp.bitwise_and(wsx, 7)
-    sx8 = wsx - m
+    m = jnp.bitwise_and(wsx, shifts - 1)
+    sxK = wsx - m
     ft = (
         m * (B * T)
         + jnp.broadcast_to(
@@ -176,7 +225,7 @@ def fused_corr_embs_pallas(
             (B, T, N),
         )
     )
-    starts = jnp.stack([ft, wsy, sx8], axis=-1)  # (B, T, N, 3)
+    starts = jnp.stack([ft, wsy, sxK], axis=-1)  # (B, T, N, 3)
     starts = starts.transpose(0, 2, 1, 3).reshape(B * N, T, 3)
     Tp = T + (T % 2)  # even T so (WIN, Tp*WIN, C) merges are tile-trivial
     if Tp != T:
@@ -192,16 +241,31 @@ def fused_corr_embs_pallas(
     fmh = fmaps_p  # (8*B*T, Hp, Wp, C)
 
     kernel = functools.partial(
-        _kernel, Tp=Tp, WIN=WIN, C=C, S=S, out_dtype=cd
+        _kernel, Tp=Tp, WIN=WIN, C=C, S=S, out_dtype=cd,
+        shifts=shifts, compute_dtype=cd, g_int8=quant_int8,
     )
 
     def run(starts_c, sup_c, wx_c, wy_c):
         # starts_c (B, n, Tp, 3); sup_c (B, n, S, C); wx_c/wy_c (B, n, T)
         n = starts_c.shape[1]
         NP = B * n
+        if quant_int8:
+            out_shape = [
+                jax.ShapeDtypeStruct((NP, S, R), jnp.int8),
+                jax.ShapeDtypeStruct((1, NP), jnp.float32),
+            ]
+            out_specs = [
+                pl.BlockSpec((1, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NP), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            ]
+        else:
+            out_shape = jax.ShapeDtypeStruct((NP, S, R), cd)
+            out_specs = pl.BlockSpec(
+                (1, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+            )
         g = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((NP, S, R), cd),
+            out_shape=out_shape,
             grid=(NP,),
             in_specs=[
                 pl.BlockSpec((1, Tp, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
@@ -213,11 +277,9 @@ def fused_corr_embs_pallas(
                 pl.BlockSpec((1, S, C), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # fmaps stay in HBM
             ],
-            out_specs=pl.BlockSpec(
-                (1, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
-            ),
+            out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((2, WIN, Tp * WIN, C), cd),
+                pltpu.VMEM((2, WIN, Tp * WIN, C), jnp.int8 if quant_int8 else cd),
                 pltpu.SemaphoreType.DMA((2, Tp)),
             ],
             interpret=interpret,
@@ -227,20 +289,32 @@ def fused_corr_embs_pallas(
             sup_c.reshape(NP, S, C),
             fmh,
         )
+        gscale = None
+        if quant_int8:
+            g, gscale = g
+            gscale = gscale.reshape(B, n)  # (1, NP) row-major == (B, n)
 
         # XLA epilogue: bilinear combine (4 weighted slice-adds) + corr MLP.
         # g lanes index r = a*(Tp*WIN) + t*WIN + b with a=y, b=x.
         g = g.reshape(B, n, S, WIN, Tp, WIN)[:, :, :, :, :T]  # (B,n,S,y,T,x)
         wxb = wx_c[:, :, None, None, :, None].astype(cd)  # (B,n,1,1,T,1)
         wyb = wy_c[:, :, None, None, :, None].astype(cd)
+        oyb, oxb = 1 - wyb, 1 - wxb
+        if gscale is not None:
+            # fold the per-point dequant scale into the y-weight pair (every
+            # combine term carries exactly one of wy/(1-wy)); the int8 g
+            # converts to bf16 inside the fused einsum read
+            sc = gscale.astype(cd)[:, :, None, None, None, None]
+            wyb = wyb * sc
+            oyb = oyb * sc
         a0 = g[:, :, :, :P, :, :P]
         a1 = g[:, :, :, :P, :, 1:]
         c0 = g[:, :, :, 1:, :, :P]
         c1 = g[:, :, :, 1:, :, 1:]
         corr = (
-            (1 - wyb) * (1 - wxb) * a0
-            + (1 - wyb) * wxb * a1
-            + wyb * (1 - wxb) * c0
+            oyb * oxb * a0
+            + oyb * wxb * a1
+            + wyb * oxb * c0
             + wyb * wxb * c1
         )  # (B, n, S, j(y), T, i(x))
         lhs = "bntk" if track_major else "btnk"

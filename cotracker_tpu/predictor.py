@@ -47,12 +47,13 @@ class CoTrackerPredictor:
         dtype=jnp.float32,
         v2: bool = False,
         model_resolution: Tuple[int, int] = (384, 512),
+        fast: bool = False,  # TPU hot path: bf16 + Pallas kernels + int8 corr
     ):
         self.v2 = v2
         self.support_grid_size = 6
         self.model, self.params = build_cotracker(
             checkpoint, offline=offline, window_len=window_len, dtype=dtype,
-            model_resolution=model_resolution, v2=v2,
+            model_resolution=model_resolution, v2=v2, fast=fast,
         )
         self.interp_shape = self.model.model_resolution
         self._jit_cache = {}
@@ -251,12 +252,13 @@ class CoTrackerOnlinePredictor:
         dtype=jnp.float32,
         v2: bool = False,
         model_resolution: Tuple[int, int] = (384, 512),
+        fast: bool = False,  # TPU hot path: bf16 + Pallas kernels + int8 corr
     ):
         self.v2 = v2
         self.support_grid_size = 6
         self.model, self.params = build_cotracker(
             checkpoint, offline=False, window_len=window_len, dtype=dtype,
-            model_resolution=model_resolution, v2=v2,
+            model_resolution=model_resolution, v2=v2, fast=fast,
         )
         self.interp_shape = self.model.model_resolution
         self.step = self.model.window_len // 2

@@ -54,6 +54,7 @@ def main():
     model = CoTrackerThree(
         window_len=60, model_resolution=(H, W), dtype=cd, corr_chunk=CH,
         use_pallas_corr=on_tpu, use_pallas_attn=on_tpu,
+        corr_quant_int8=on_tpu,
     )
     params = init_params(model)
 
@@ -102,7 +103,9 @@ def main():
     for lvl in range(4):
         h, w = (H // 4) >> lvl, (W // 4) >> lvl
         fm = jnp.asarray(rng.standard_normal((1, T, h, w, C)).astype(np.float32))
-        pre = jax.jit(lambda f: build_shifted_fmaps(f, 3, cd))(fm)
+        pre = jax.jit(
+            lambda f: build_shifted_fmaps(f, 3, cd, quant_int8=on_tpu)
+        )(fm)
         sup = jnp.asarray(rng.standard_normal((1, N, S, C)).astype(np.float32)).astype(cd)
         coords = jnp.asarray(
             np.stack([rng.random((1, T, N)) * (w - 1), rng.random((1, T, N)) * (h - 1)], -1)
@@ -113,6 +116,7 @@ def main():
             lambda pp, ss, cc: fused_corr_embs_pallas(
                 pp, ss, cc, w1, b1, w2, b2, radius=3, chunk=CH,
                 compute_dtype=cd, prepacked=True, track_major=True,
+                quant_int8=on_tpu,
             )[0, -1, -1, 0]
         )
         t = timeit(fn, pre, sup, coords)

@@ -1,0 +1,154 @@
+"""Dispatch-free microbenchmarks: ops timed inside a fori_loop in ONE jit.
+
+The axon remote-dispatch round trip inflates single-op timings by ~30 ms,
+which fogs every standalone component number (see BASELINE.md). Here each op
+runs `reps` times inside one compiled loop with a scalar data dependence
+chaining iterations (so XLA can neither hoist nor overlap them), giving true
+per-op times. Run on the real TPU: `python scripts/ubench.py [section ...]`.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def time_loop(step, x0, reps=8):
+    """step: x -> x (same structure). Returns seconds per step."""
+
+    @jax.jit
+    def loop(x):
+        return jax.lax.fori_loop(0, reps, lambda i, a: step(a), x)
+
+    r = loop(x0)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(x0))
+    return (time.perf_counter() - t0) / reps
+
+
+def chain(x, scalar):
+    """Make iteration i+1 depend on iteration i through a ~no-op scalar.
+
+    1e-30 (not 0.0) so XLA's algebraic simplifier cannot fold the term away;
+    the product rounds to exactly 1.0 in bf16/f32."""
+    return x * (1.0 + 1e-30 * scalar.astype(jnp.float32)).astype(x.dtype)
+
+
+def sec_peak_matmul(rng):
+    n = 4096
+    a = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32)).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def step(x):
+        y = jax.lax.dot(x, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        return chain(a, y[0, 0])
+
+    t = time_loop(step, a, reps=16)
+    fl = 2 * n**3
+    print(f"peak bf16 matmul {n}^3: {t*1e3:7.2f} ms = {fl/t/1e12:6.1f} TF/s")
+
+
+def sec_mlp_matmul(rng):
+    M, K, N = 604_800, 384, 1536
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32)).astype(jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def step_one(x):
+        y = jax.lax.dot(x, w1, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        return chain(x, y[0, 0])
+
+    t1 = time_loop(step_one, x)
+    print(f"mlp fc1 ({M}x{K})@({K}x{N}): {t1*1e3:7.2f} ms = {2*M*K*N/t1/1e12:6.1f} TF/s")
+
+    def step_mlp(x):
+        h = jax.lax.dot(x, w1, preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h, approximate=True).astype(jnp.bfloat16)
+        y = jax.lax.dot(h, w2, preferred_element_type=jnp.float32)
+        return chain(x, y[0, 0])
+
+    t2 = time_loop(step_mlp, x)
+    print(f"mlp pair + gelu:            {t2*1e3:7.2f} ms = {4*M*K*N/t2/1e12:6.1f} TF/s")
+
+
+def sec_stream(rng):
+    n = 256 * 1024 * 1024 // 4  # 256 MB f32
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    def step(x):
+        return x * 1.0000001
+
+    t = time_loop(step, x, reps=16)
+    print(f"elementwise 256MB f32 (r+w): {t*1e3:7.2f} ms = {2*n*4/t/1e9:6.1f} GB/s")
+
+
+def sec_corr(rng):
+    from cotracker_tpu.ops.kernels.corr_pallas import (
+        fused_corr_embs_pallas, build_shifted_fmaps,
+    )
+
+    cd = jnp.bfloat16
+    N, T, C = 10_048, 60, 128
+    CH = 2048
+    w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+    b1 = jnp.zeros((384,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.02)
+    b2 = jnp.zeros((256,), jnp.float32)
+    for lvl in (0, 3):
+        h, w = 96 >> lvl, 128 >> lvl
+        fm = jnp.asarray(rng.standard_normal((1, T, h, w, C)).astype(np.float32))
+        fm = fm / jnp.linalg.norm(fm, axis=-1, keepdims=True)
+        pre = jax.jit(lambda f: build_shifted_fmaps(f, 3, cd, quant_int8=True))(fm)
+        sup = jnp.asarray(rng.standard_normal((1, N, 49, C)).astype(np.float32)).astype(cd)
+        coords = jnp.asarray(
+            np.stack([rng.random((1, T, N)) * (w - 1), rng.random((1, T, N)) * (h - 1)], -1)
+            .astype(np.float32))
+
+        def step(c):
+            out = fused_corr_embs_pallas(
+                pre, sup, c, w1, b1, w2, b2, radius=3, chunk=CH,
+                compute_dtype=cd, prepacked=True, track_major=True,
+                quant_int8=True,
+            )
+            return chain(c, out[0, 0, 0, 0])
+
+        t = time_loop(step, coords, reps=4)
+        print(f"corr level {lvl} ({h}x{w}) int8: {t*1e3:7.2f} ms/level-iter")
+
+
+def sec_updateformer(rng):
+    from cotracker_tpu.models.updateformer import EfficientUpdateFormer
+
+    cd = jnp.bfloat16
+    N, T = 10_064, 60
+    uf = EfficientUpdateFormer(dtype=cd, use_pallas_attn=True)
+    x = jnp.asarray(rng.standard_normal((1, N, T, 1110)).astype(np.float32)).astype(cd)
+    p = jax.jit(uf.init)(jax.random.PRNGKey(0), x[:, :8])["params"]
+
+    def step(x):
+        y = uf.apply({"params": p}, x)
+        return chain(x, y[0, 0, 0, 0])
+
+    t = time_loop(step, x, reps=4)
+    print(f"updateformer iter:          {t*1e3:7.2f} ms")
+
+
+def main():
+    rng = np.random.default_rng(0)
+    sections = sys.argv[1:] or ["peak", "mlp", "stream", "corr", "uf"]
+    fns = {
+        "peak": sec_peak_matmul, "mlp": sec_mlp_matmul, "stream": sec_stream,
+        "corr": sec_corr, "uf": sec_updateformer,
+    }
+    for s in sections:
+        fns[s](rng)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,47 @@ class TestPallasCorr:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
+    def test_int8_window_transfer(self):
+        """quant_int8 moves windows as clip(round(f*128)) int8 with the exact
+        1/128 scale folded into the support, and emits the correlation volume
+        as int8 with a per-point dynamic scale. Window dequant is exact on
+        k/128 values; the volume quantization adds ~1/254 of the per-point
+        max — so outputs match the f32 XLA formulation to ~1% of their
+        scale."""
+        rng = np.random.default_rng(4)
+        B, T, H, W, C, N = 1, 3, 16, 24, 128, 5
+        fm = rng.uniform(-1, 1, (B, T, H, W, C)).astype(np.float32)
+        fm = jnp.asarray(np.clip(np.round(fm * 128.0), -127, 127) / 128.0)
+        sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+        coords = jnp.asarray(
+            (rng.random((B, T, N, 2)) * np.array([W + 6, H + 6]) - 3).astype(np.float32)
+        )
+        w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+        b1 = jnp.zeros(384)
+        w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.05)
+        b2 = jnp.zeros(256)
+        ref = fused_corr_embs(fm, sup, coords, w1, b1, w2, b2, radius=3, compute_dtype=jnp.float32)
+        out = fused_corr_embs_pallas(
+            fm, sup, coords, w1, b1, w2, b2, radius=3,
+            compute_dtype=jnp.float32, interpret=True, quant_int8=True,
+        )
+        scale = float(np.abs(np.asarray(ref)).max())
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2 * scale
+        )
+
+        # prepacked int8 agrees with the non-prepacked int8 path
+        from cotracker_tpu.ops.kernels.corr_pallas import build_shifted_fmaps
+
+        packed = build_shifted_fmaps(fm, 3, jnp.float32, quant_int8=True)
+        assert packed.dtype == jnp.int8
+        out2 = fused_corr_embs_pallas(
+            packed, sup, coords, w1, b1, w2, b2, radius=3, chunk=3,
+            compute_dtype=jnp.float32, interpret=True, prepacked=True,
+            quant_int8=True,
+        )
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-3, atol=1e-5)
+
     def test_tiny_level_edge_padding(self):
         """Pyramid levels smaller than the sampling window must still be exact."""
         rng = np.random.default_rng(1)
