@@ -183,6 +183,24 @@ class Attention(nn.Module):
         h, d = self.num_heads, self.dim_head
         B, T, V, _ = virtual.shape
         N = points.shape[1]
+        if self.use_pallas and N % 512 == 0:
+            from cotracker_tpu.ops.kernels.attention_pallas import (
+                fused_virtual_from_points,
+            )
+
+            q = self.to_q(virtual)  # (B, T, V, C)
+            kv = self.to_kv(points)  # (B, N, T, 2C)
+            bias = (
+                jnp.zeros((B, N), jnp.float32)
+                if key_mask is None
+                else jnp.where(key_mask, 0.0, -0.7 * jnp.finfo(jnp.float32).max)
+            )
+            out = jax.vmap(
+                lambda qq, kk, bb: fused_virtual_from_points(
+                    qq, kk, h, d, key_bias=bb
+                )
+            )(q, kv, bias)
+            return self.to_out(out)
         q = self.to_q(virtual).reshape(B, T, V, h, d)
         k, v = jnp.split(self.to_kv(points), 2, axis=-1)  # (B, N, T, inner)
         k = k.reshape(B, N, T, h, d)
@@ -207,6 +225,17 @@ class Attention(nn.Module):
         h, d = self.num_heads, self.dim_head
         B, N, T, _ = points.shape
         V = virtual.shape[2]
+        if self.use_pallas and query_mask is None and N % 512 == 0:
+            from cotracker_tpu.ops.kernels.attention_pallas import (
+                fused_points_from_virtual,
+            )
+
+            q = self.to_q(points)  # (B, N, T, C)
+            kv = self.to_kv(virtual)  # (B, T, V, 2C)
+            out = jax.vmap(
+                lambda qq, kk: fused_points_from_virtual(qq, kk, h, d)
+            )(q, kv)
+            return self.to_out(out)
         q = self.to_q(points).reshape(B, N, T, h, d)
         k, v = jnp.split(self.to_kv(virtual), 2, axis=-1)
         k = k.reshape(B, T, V, h, d)
@@ -279,12 +308,14 @@ class CrossAttnBlock(nn.Module):
     dim_head: int = 48
     mlp_ratio: float = 4.0
     dtype: Any = None
+    use_pallas_attn: bool = False  # fused space-attention cores (inference)
 
     def setup(self):
         self.norm_context = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")
         self.cross_attn = Attention(
             self.num_heads, self.dim_head, qkv_bias=True,
-            out_dim=self.hidden_size, dtype=self.dtype, name="cross_attn",
+            out_dim=self.hidden_size, dtype=self.dtype,
+            use_pallas=self.use_pallas_attn, name="cross_attn",
         )
         self.mlp = Mlp(
             int(self.hidden_size * self.mlp_ratio), self.hidden_size,

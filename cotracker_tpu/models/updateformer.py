@@ -82,11 +82,19 @@ class EfficientUpdateFormer(nn.Module):
                 for i in range(self.space_depth)
             ]
             p2v_blocks = [
-                CrossAttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, dtype=self.dtype, name=f"space_point2virtual_blocks_{i}")
+                CrossAttnBlock(
+                    self.hidden_size, self.num_heads, dim_head, self.mlp_ratio,
+                    dtype=self.dtype, use_pallas_attn=self.use_pallas_attn,
+                    name=f"space_point2virtual_blocks_{i}",
+                )
                 for i in range(self.space_depth)
             ]
             v2p_blocks = [
-                CrossAttnBlock(self.hidden_size, self.num_heads, dim_head, self.mlp_ratio, dtype=self.dtype, name=f"space_virtual2point_blocks_{i}")
+                CrossAttnBlock(
+                    self.hidden_size, self.num_heads, dim_head, self.mlp_ratio,
+                    dtype=self.dtype, use_pallas_attn=self.use_pallas_attn,
+                    name=f"space_virtual2point_blocks_{i}",
+                )
                 for i in range(self.space_depth)
             ]
 

@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
+NEG_BIG = -0.7 * jnp.finfo(jnp.float32).max
 
 
 def _kernel(q_ref, kv_ref, out_ref, *, num_heads, dim_head, out_dtype):
@@ -82,3 +83,172 @@ def fused_time_attention(
         out_specs=pl.BlockSpec((block_m, T, C), lambda p: (p, 0, 0)),
         interpret=interpret,
     )(q, kv)
+
+
+# --------------------------------------------------------------------------
+# Fused factorized space attention (the virtual-track bottleneck,
+# reference cotracker.py:507-523). Two cores:
+#   * points <- virtual: every (track, frame) query attends over the V=64
+#     virtual tokens of its frame. Softmax width is tiny; the XLA
+#     formulation's cost is the (B,N,T,H,V) sim tensor round-tripping HBM.
+#   * virtual <- points: V queries per frame attend over ALL N tracks —
+#     flash-style online softmax over N tiles so the (B,T,H,V,N) sim never
+#     exists in HBM.
+# Both kernels slice the big track-native (N, T, C) tensors along T via
+# BlockSpecs (strided DMA), so no explicit transpose of the 400+ MB point
+# tensor is ever materialized.
+# --------------------------------------------------------------------------
+
+
+def _p2v_kernel(q_ref, kv_ref, out_ref, *, num_heads, dim_head, out_dtype):
+    """q (blk, 1, C//128, 128) — one frame's slice of the point tokens (the
+    4D lane-split view keeps the T-indexed dim out of the block's last two
+    dims, which Mosaic requires to be (8k, 128m) or full); kv (1, V, 2*H*D)
+    — that frame's virtual tokens. out (blk, 1, C//128, 128)."""
+    C = num_heads * dim_head
+    scale = dim_head**-0.5
+    blk = q_ref.shape[0]
+    q = q_ref[:, 0].reshape(blk, C)
+    kv = kv_ref[0]
+    outs = []
+    for h in range(num_heads):
+        lo = h * dim_head
+        qh = q[:, lo : lo + dim_head]
+        kh = kv[:, lo : lo + dim_head]
+        vh = kv[:, C + lo : C + lo + dim_head]
+        sim = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=F32
+        ) * scale  # (blk, V)
+        p = jax.nn.softmax(sim, axis=-1).astype(vh.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())), preferred_element_type=F32
+            )
+        )
+    out = jnp.concatenate(outs, axis=-1).astype(out_dtype)
+    out_ref[:, 0] = out.reshape(blk, C // 128, 128)
+
+
+def fused_points_from_virtual(q, kv, num_heads: int, dim_head: int,
+                              block_n: int = 512, interpret: bool = False):
+    """Attention of point queries over per-frame virtual keys/values.
+
+    q: (N, T, H*D) projected point queries (track-native layout); kv:
+    (T, V, 2*H*D) projected virtual keys|values. Returns (N, T, H*D).
+    N must be a multiple of block_n."""
+    N, T, C = q.shape
+    V = kv.shape[1]
+    assert C == num_heads * dim_head and kv.shape == (T, V, 2 * C)
+    assert N % block_n == 0, (N, block_n)
+    assert C % 128 == 0
+    L = C // 128
+    kernel = functools.partial(
+        _p2v_kernel, num_heads=num_heads, dim_head=dim_head, out_dtype=q.dtype
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, T, L, 128), q.dtype),
+        grid=(T, N // block_n),
+        in_specs=[
+            pl.BlockSpec((block_n, 1, L, 128), lambda t, n: (n, t, 0, 0)),
+            pl.BlockSpec((1, V, 2 * C), lambda t, n: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, 1, L, 128), lambda t, n: (n, t, 0, 0)),
+        interpret=interpret,
+    )(q.reshape(N, T, L, 128), kv)
+    return out.reshape(N, T, C)
+
+
+def _v2p_kernel(q_ref, kv_ref, bias_ref, out_ref, acc, mx, lse, *,
+                num_heads, dim_head, n_tiles, out_dtype):
+    """Flash accumulation over N tiles for one frame's V virtual queries.
+
+    q (1, V, H*D); kv (blk, 1, 2C//128, 128) — current N-tile of this
+    frame's point keys|values (4D lane-split view, see _p2v_kernel); bias
+    (blk, 1) f32 additive key mask. Scratch: acc (H, V, D) f32, mx/lse
+    (H, V, 128) f32 (lane-broadcast row stats). out (1, V, H*D) written on
+    the final tile."""
+    n = pl.program_id(1)
+    C = num_heads * dim_head
+    scale = dim_head**-0.5
+    blk = kv_ref.shape[0]
+    q = q_ref[0]
+    kv = kv_ref[:, 0].reshape(blk, 2 * C)
+    bias = bias_ref[...].reshape(1, blk)  # (blk, 1) -> lane-broadcastable
+
+    @pl.when(n == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        mx[...] = jnp.full_like(mx, NEG_BIG)
+        lse[...] = jnp.zeros_like(lse)
+
+    for h in range(num_heads):
+        lo = h * dim_head
+        qh = q[:, lo : lo + dim_head]
+        kh = kv[:, lo : lo + dim_head]
+        vh = kv[:, C + lo : C + lo + dim_head]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=F32
+        ) * scale + bias  # (V, blk)
+        m_prev = mx[h][:, :1]  # (V, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)  # (V, 1)
+        p = jnp.exp(s - m_new)  # (V, blk)
+        lse[h] = jnp.broadcast_to(
+            lse[h][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+            lse[h].shape,
+        )
+        mx[h] = jnp.broadcast_to(m_new, mx[h].shape)
+        pv = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32,
+        )  # (V, D)
+        acc[h] = acc[h] * alpha + pv
+
+    @pl.when(n == n_tiles - 1)
+    def _():
+        outs = [acc[h] / lse[h][:, :1] for h in range(num_heads)]
+        out_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_dtype)
+
+
+def fused_virtual_from_points(q, kv, num_heads: int, dim_head: int,
+                              key_bias=None, block_n: int = 1024,
+                              interpret: bool = False):
+    """Flash attention of per-frame virtual queries over all N point tokens.
+
+    q: (T, V, H*D) projected virtual queries; kv: (N, T, 2*H*D) projected
+    point keys|values (track-native layout); key_bias: optional (N,) f32
+    additive bias (0 = valid key, -big = masked — the reference's
+    `(~mask) * -finfo.max` convention). Returns (T, V, H*D).
+    N must be a multiple of block_n."""
+    T, V, C = q.shape
+    N = kv.shape[0]
+    assert C == num_heads * dim_head and kv.shape == (N, T, 2 * C)
+    assert N % block_n == 0, (N, block_n)
+    assert (2 * C) % 128 == 0
+    L = 2 * C // 128
+    if key_bias is None:
+        key_bias = jnp.zeros((N,), F32)
+    key_bias = key_bias.reshape(N, 1).astype(F32)
+    n_tiles = N // block_n
+    kernel = functools.partial(
+        _v2p_kernel, num_heads=num_heads, dim_head=dim_head,
+        n_tiles=n_tiles, out_dtype=q.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, V, C), q.dtype),
+        grid=(T, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, V, C), lambda t, n: (t, 0, 0)),
+            pl.BlockSpec((block_n, 1, L, 128), lambda t, n: (n, t, 0, 0)),
+            pl.BlockSpec((block_n, 1), lambda t, n: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, V, C), lambda t, n: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads, V, dim_head), F32),
+            pltpu.VMEM((num_heads, V, 128), F32),
+            pltpu.VMEM((num_heads, V, 128), F32),
+        ],
+        interpret=interpret,
+    )(q, kv.reshape(N, T, L, 128), key_bias)

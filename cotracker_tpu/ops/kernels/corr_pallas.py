@@ -140,17 +140,20 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, *rest,
         dma(slot, t, starts_cur_ref).wait()
 
     wv = win[slot]  # (WIN, Tp*WIN, C)
-    if wv.dtype != compute_dtype:  # int8 windows: dequant rides the support
-        wv = wv.astype(compute_dtype)
     win2 = wv.reshape(WIN * Tp * WIN, C)  # rows r = a*(Tp*WIN) + t*WIN + b
     # transposed contraction: the long window axis lands on LANES of the
     # output, so the (NP, S, R) result tiles without padding — the natural
     # (R, S) orientation pads S=49 lanes to 128 and writes 2.6x the bytes.
     # MXU efficiency is identical (the 49/128 under-fill just moves to M).
+    # Quantized path: both operands int8 -> native s8 x s8 -> s32 MXU dot
+    # (no VPU convert of the window slab); dequant scales live in the
+    # epilogue.
     g = jax.lax.dot_general(
-        sup_ref[0], win2, (((1,), (1,)), ((), ())), preferred_element_type=F32
+        sup_ref[0], win2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32 if g_int8 else F32,
     )  # (S, WIN*Tp*WIN)
     if g_int8:
+        g = g.astype(F32)
         # per-point dynamic quantization of the correlation volume: halves
         # the g write here AND the epilogue's read. For L2-normalized
         # features |g| <= 1 (Cauchy-Schwarz), so the relative step is
@@ -207,9 +210,17 @@ def fused_corr_embs_pallas(
         B, T, H, W, C = fmaps.shape
         fmaps_p = build_shifted_fmaps(fmaps, radius, compute_dtype, quant_int8=quant_int8)
         Hp, Wp = H + 2 * pad, W + 2 * pad
+    sup_scale = None
     if quant_int8:
         assert fmaps_p.dtype == jnp.int8, fmaps_p.dtype
-        support = support.astype(jnp.float32) * (1.0 / 128.0)
+        # quantize the support patches too: the kernel contraction then runs
+        # natively s8 x s8 -> s32 on the MXU, skipping the int8->bf16 convert
+        # of the (8, T*8, C) window slab. Per-point dynamic scale; the 1/128
+        # window scale and this scale both fold into the epilogue dequant.
+        sup32 = support.astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(sup32), axis=(2, 3)), 1e-20)  # (B, N)
+        sup_scale = amax * (1.0 / 127.0 / 128.0)
+        support = jnp.round(sup32 * (127.0 / amax[..., None, None]))
     wsx, wsy, wx, wy = window_starts_and_weights(coords, radius, H, W)  # (B, T, N)
 
     # per-(point, frame) DMA descriptors: flat (shift-copy, frame) index +
@@ -233,7 +244,7 @@ def fused_corr_embs_pallas(
 
     cd = compute_dtype
     starts = starts.reshape(B, N, Tp, 3)
-    sup = support.astype(cd)  # (B, N, S, C)
+    sup = support.astype(jnp.int8 if quant_int8 else cd)  # (B, N, S, C)
     wxn = wx.transpose(0, 2, 1)  # (B, N, T)
     wyn = wy.transpose(0, 2, 1)
     w1r = w1.reshape(P, P, S, -1).astype(cd)  # (i, j, s, Dh): d = i*P*S + j*S + s
@@ -245,8 +256,9 @@ def fused_corr_embs_pallas(
         shifts=shifts, compute_dtype=cd, g_int8=quant_int8,
     )
 
-    def run(starts_c, sup_c, wx_c, wy_c):
-        # starts_c (B, n, Tp, 3); sup_c (B, n, S, C); wx_c/wy_c (B, n, T)
+    def run(starts_c, sup_c, wx_c, wy_c, sup_scale_c=None):
+        # starts_c (B, n, Tp, 3); sup_c (B, n, S, C); wx_c/wy_c (B, n, T);
+        # sup_scale_c (B, n) per-point support dequant scale (quant path)
         n = starts_c.shape[1]
         NP = B * n
         if quant_int8:
@@ -293,6 +305,7 @@ def fused_corr_embs_pallas(
         if quant_int8:
             g, gscale = g
             gscale = gscale.reshape(B, n)  # (1, NP) row-major == (B, n)
+            gscale = gscale * sup_scale_c
 
         # XLA epilogue: bilinear combine (4 weighted slice-adds) + corr MLP.
         # g lanes index r = a*(Tp*WIN) + t*WIN + b with a=y, b=x.
@@ -327,19 +340,24 @@ def fused_corr_embs_pallas(
             f"{lhs},ko->{out_sub}", h, w2.astype(cd), preferred_element_type=F32
         ).astype(cd) + b2.astype(cd)
 
+    if sup_scale is None:
+        sup_scale = jnp.ones((B, N), F32)  # unused on the non-quant path
     if chunk is None or chunk >= N:
-        return run(starts, sup, wxn, wyn)
+        return run(starts, sup, wxn, wyn, sup_scale)
 
     K = -(-N // chunk)
     padn = K * chunk - N
     if padn:
         pad_n = lambda a: jnp.pad(a, ((0, 0), (0, padn)) + ((0, 0),) * (a.ndim - 2))
-        starts, sup, wxn, wyn = map(pad_n, (starts, sup, wxn, wyn))
+        starts, sup, wxn, wyn, sup_scale = map(
+            pad_n, (starts, sup, wxn, wyn, sup_scale)
+        )
     split = lambda a: a.reshape((B, K, chunk) + a.shape[2:]).transpose(
         (1, 0, 2) + tuple(range(3, a.ndim + 1))
     )
     out = jax.lax.map(
-        lambda args: run(*args), (split(starts), split(sup), split(wxn), split(wyn))
+        lambda args: run(*args),
+        (split(starts), split(sup), split(wxn), split(wyn), split(sup_scale)),
     )  # (K, B, T, chunk, Do) — or (K, B, chunk, T, Do) track-major
     if track_major:
         out = out.transpose(1, 0, 2, 3, 4).reshape(B, K * chunk, T, -1)

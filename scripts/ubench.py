@@ -89,6 +89,11 @@ def sec_stream(rng):
 
 
 def sec_corr(rng):
+    """NOTE: over the axon remote-compile tunnel this section dies with a
+    broken-pipe during compilation (fori_loop x lax.map x pallas payload too
+    large for the tunnel). Works on a directly-attached TPU; for tunnel
+    setups use scripts/bench_breakdown.py (standalone timings, ~29 ms
+    dispatch inflation) and the in-forward deltas instead."""
     from cotracker_tpu.ops.kernels.corr_pallas import (
         fused_corr_embs_pallas, build_shifted_fmaps,
     )
@@ -126,7 +131,7 @@ def sec_updateformer(rng):
     from cotracker_tpu.models.updateformer import EfficientUpdateFormer
 
     cd = jnp.bfloat16
-    N, T = 10_064, 60
+    N, T = 10_240, 60
     uf = EfficientUpdateFormer(dtype=cd, use_pallas_attn=True)
     x = jnp.asarray(rng.standard_normal((1, N, T, 1110)).astype(np.float32)).astype(cd)
     p = jax.jit(uf.init)(jax.random.PRNGKey(0), x[:, :8])["params"]
@@ -137,6 +142,13 @@ def sec_updateformer(rng):
 
     t = time_loop(step, x, reps=4)
     print(f"updateformer iter:          {t*1e3:7.2f} ms")
+
+    def step_ns(x):
+        y = uf.apply({"params": p}, x, add_space_attn=False)
+        return chain(x, y[0, 0, 0, 0])
+
+    t2 = time_loop(step_ns, x, reps=4)
+    print(f"  time blocks only:         {t2*1e3:7.2f} ms (space rounds = {(t-t2)*1e3:.1f})")
 
 
 def main():

@@ -137,3 +137,64 @@ class TestPallasCorr:
             compute_dtype=jnp.float32, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+
+class TestPallasSpaceAttention:
+    """Fused factorized space-attention cores vs the XLA einsum formulation
+    (models/blocks.py Attention.virtual_from_points / points_from_virtual)."""
+
+    def _xla_v2p(self, q, kv, H, D, key_bias=None):
+        T, V, C = q.shape
+        N = kv.shape[0]
+        k, v = np.split(np.asarray(kv), 2, axis=-1)
+        qh = np.asarray(q).reshape(T, V, H, D)
+        kh = k.reshape(N, T, H, D)
+        vh = v.reshape(N, T, H, D)
+        sim = np.einsum("tvhd,nthd->thvn", qh, kh) * (D**-0.5)
+        if key_bias is not None:
+            sim = sim + np.asarray(key_bias)[None, None, None, :]
+        sim = sim - sim.max(-1, keepdims=True)
+        p = np.exp(sim)
+        p /= p.sum(-1, keepdims=True)
+        return np.einsum("thvn,nthd->tvhd", p, vh).reshape(T, V, C)
+
+    def test_virtual_from_points(self):
+        from cotracker_tpu.ops.kernels.attention_pallas import (
+            fused_virtual_from_points,
+        )
+
+        rng = np.random.default_rng(5)
+        T, V, H, D, N = 3, 16, 8, 48, 1024
+        C = H * D
+        q = jnp.asarray(rng.standard_normal((T, V, C)).astype(np.float32))
+        kv = jnp.asarray(rng.standard_normal((N, T, 2 * C)).astype(np.float32))
+        # mask out a block of keys
+        bias = np.zeros(N, np.float32)
+        bias[700:] = -0.7 * np.finfo(np.float32).max
+        out = fused_virtual_from_points(
+            q, kv, H, D, key_bias=jnp.asarray(bias), block_n=256, interpret=True
+        )
+        ref = self._xla_v2p(q, kv, H, D, key_bias=bias)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+    def test_points_from_virtual(self):
+        from cotracker_tpu.ops.kernels.attention_pallas import (
+            fused_points_from_virtual,
+        )
+
+        rng = np.random.default_rng(6)
+        N, T, V, H, D = 512, 3, 16, 8, 48
+        C = H * D
+        q = jnp.asarray(rng.standard_normal((N, T, C)).astype(np.float32))
+        kv = jnp.asarray(rng.standard_normal((T, V, 2 * C)).astype(np.float32))
+        out = fused_points_from_virtual(q, kv, H, D, block_n=128, interpret=True)
+        k, v = np.split(np.asarray(kv), 2, axis=-1)
+        qh = np.asarray(q).reshape(N, T, H, D)
+        kh = k.reshape(T, V, H, D)
+        vh = v.reshape(T, V, H, D)
+        sim = np.einsum("nthd,tvhd->nthv", qh, kh) * (D**-0.5)
+        sim = sim - sim.max(-1, keepdims=True)
+        p = np.exp(sim)
+        p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("nthv,tvhd->nthd", p, vh).reshape(N, T, C)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
