@@ -17,5 +17,6 @@ from cotracker_tpu.ops.samplers import (  # noqa: F401
     get_points_on_a_grid,
     get_uniformly_sampled_pts,
     get_sift_sampled_pts,
+    get_superpoint_sampled_pts,
 )
 from cotracker_tpu.ops.masked import reduce_masked_mean, masked_mean, masked_mean_var  # noqa: F401

@@ -74,3 +74,52 @@ def get_sift_sampled_pts(
     if not points:
         return jnp.zeros((1, 0, 3), dtype=jnp.float32)
     return jnp.asarray(np.asarray(points[:size], dtype=np.float32)[None])
+
+
+def get_superpoint_sampled_pts(
+    video,
+    size: int,
+    num_frames: int,
+    extent: Tuple[float, ...],
+    num_sampled_frames: int = 8,
+    sampling_length_percent: float = 0.25,
+    max_num_keypoints: int = 48,
+    rng: Optional[np.random.Generator] = None,
+    extract_fn=None,
+):
+    """SuperPoint keypoints as (t, x, y) queries from the first
+    `sampling_length_percent` of frames. `video` is (1, T, H, W, 3) in
+    [0, 255]. Returns (1, <=size, 3).
+
+    Mirrors reference `get_superpoint_sampled_pts` (model_utils.py:36-52):
+    up to `max_num_keypoints` keypoints from each of `num_sampled_frames`
+    random early frames, concatenated and truncated to `size`.
+
+    extract_fn: optional `(frame_hw3_float01) -> (K, 2) xy array` — by
+    default builds a SuperPoint extractor from the `lightglue` package
+    (what the reference uses; needs its pretrained weights), so tests and
+    weightless environments can inject a stand-in detector.
+    """
+    rng = rng or np.random.default_rng()
+    if extract_fn is None:
+        import torch
+        from lightglue import SuperPoint  # gated optional dependency
+
+        extractor = SuperPoint(max_num_keypoints=max_num_keypoints).eval()
+
+        def extract_fn(frame):
+            with torch.no_grad():
+                t = torch.from_numpy(np.ascontiguousarray(frame)).permute(2, 0, 1).float()
+                out = extractor.extract(t, resize=None)
+            return out["keypoints"][0].cpu().numpy()
+
+    points = []
+    for _ in range(num_sampled_frames):
+        frame_num = int(rng.integers(0, max(int(num_frames * sampling_length_percent), 1)))
+        frame = np.asarray(video[0, frame_num], np.float32) / 255.0
+        kps = np.asarray(extract_fn(frame), np.float32)[:max_num_keypoints]
+        for xy in kps:
+            points.append([frame_num, xy[0], xy[1]])
+    if not points:
+        return jnp.zeros((1, 0, 3), dtype=jnp.float32)
+    return jnp.asarray(np.asarray(points[:size], dtype=np.float32)[None])

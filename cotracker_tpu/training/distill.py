@@ -36,17 +36,32 @@ class DistillConfig(NamedTuple):
     restart_from: Optional[str] = None
 
 
-def sample_distill_queries(video_np, num_queries: int, rng: np.random.Generator):
-    """SIFT queries with uniform fallback (reference :85-102).
+def sample_distill_queries(
+    video_np, num_queries: int, rng: np.random.Generator,
+    method: str = "sift", superpoint_extract_fn=None,
+):
+    """Keypoint queries with uniform fallback (reference :85-102).
 
+    method: "sift" (reference default) or "superpoint"
+    (reference --real_data_filter_superpoint, train_on_real_data.py:94-98).
     video_np: (1, T, 3, H, W) uint8-ish numpy. Returns (1, num_queries, 3).
     """
-    from cotracker_tpu.ops.samplers import get_sift_sampled_pts, get_uniformly_sampled_pts
+    from cotracker_tpu.ops.samplers import (
+        get_sift_sampled_pts,
+        get_superpoint_sampled_pts,
+        get_uniformly_sampled_pts,
+    )
 
     T, H, W = video_np.shape[1], video_np.shape[3], video_np.shape[4]
     vid_cl = video_np[0].transpose(0, 2, 3, 1)[None]
     try:
-        q = np.asarray(get_sift_sampled_pts(vid_cl, num_queries, T, (H, W), rng=rng))
+        if method == "superpoint":
+            q = np.asarray(get_superpoint_sampled_pts(
+                vid_cl, num_queries, T, (H, W), rng=rng,
+                extract_fn=superpoint_extract_fn,
+            ))
+        else:
+            q = np.asarray(get_sift_sampled_pts(vid_cl, num_queries, T, (H, W), rng=rng))
     except Exception:
         q = np.zeros((1, 0, 3), np.float32)
     if q.shape[1] < num_queries:

@@ -83,3 +83,27 @@ class TestDistill:
         assert q.shape == (1, 32, 3)
         assert (q[..., 0] >= 0).all() and (q[..., 0] < 6).all()
         assert (q[..., 1] <= 64).all() and (q[..., 2] <= 48).all()
+
+
+def test_superpoint_query_sampling_with_injected_extractor():
+    """SuperPoint sampler semantics (reference model_utils.py:36-52) with a
+    stand-in detector: frames from the first 25%, per-frame cap, truncation,
+    and the uniform fallback in sample_distill_queries."""
+    import numpy as np
+    from cotracker_tpu.training.distill import sample_distill_queries
+
+    rng = np.random.default_rng(0)
+    video = (rng.random((1, 20, 3, 32, 48)) * 255).astype(np.float32)
+
+    def fake_extract(frame):
+        h, w = frame.shape[:2]
+        return np.stack([rng.random(5) * (w - 1), rng.random(5) * (h - 1)], -1)
+
+    q = sample_distill_queries(
+        video, 64, rng, method="superpoint", superpoint_extract_fn=fake_extract
+    )
+    assert q.shape == (1, 64, 3)
+    # keypoint frames all in the first 25%; fallback rows may be anywhere
+    kp = q[0, : 8 * 5]
+    assert (kp[:, 0] < 5).all()
+    assert (kp[:, 1] <= 47).all() and (kp[:, 2] <= 31).all()
