@@ -77,6 +77,85 @@ def sec_mlp_matmul(rng):
     print(f"mlp pair + gelu:            {t2*1e3:7.2f} ms = {4*M*K*N/t2/1e12:6.1f} TF/s")
 
 
+def sec_int8_matmul(rng):
+    """Is a W8A8 updateformer matmul worth it? Raw s8xs8->s32 MXU throughput
+    vs bf16, and the full dynamic-quant step (absmax -> scale -> round/clip ->
+    s8 dot -> dequant) that an activation-quantized MLP layer would pay."""
+    M, K, N = 604_800, 384, 1536
+    xf = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    w8 = jnp.asarray(
+        np.clip(np.round(rng.standard_normal((K, N)) * 40), -127, 127).astype(np.int8)
+    )
+    x8 = jnp.asarray(
+        np.clip(np.round(rng.standard_normal((M, K)) * 40), -127, 127).astype(np.int8)
+    )
+
+    def step_raw(x):
+        y = jax.lax.dot(x, w8, preferred_element_type=jnp.int32)
+        return jnp.where(y[:1, :1] > jnp.int32(2**30), x ^ jnp.int8(1), x)
+
+    t = time_loop(step_raw, x8)
+    print(f"raw s8 ({M}x{K})@({K}x{N}):  {t*1e3:7.2f} ms = {2*M*K*N/t/1e12:6.1f} TOP/s")
+
+    def step_w8a8(x):
+        scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-20) / 127.0
+        xq = jnp.round(x.astype(jnp.float32) / scale).clip(-127, 127).astype(jnp.int8)
+        y = jax.lax.dot(xq, w8, preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        return chain(x, y[0, 0])
+
+    t2 = time_loop(step_w8a8, xf)
+    print(f"w8a8 incl dyn act quant:     {t2*1e3:7.2f} ms = {2*M*K*N/t2/1e12:6.1f} TF/s-equiv")
+
+
+def sec_int8_mlp(rng):
+    """Full transformer-MLP block compare: bf16 (LN -> fc1 -> gelu -> fc2)
+    vs W8A8 with PER-TOKEN dynamic activation scales fused into the
+    producers (LN epilogue quantizes; gelu epilogue re-quantizes) — the
+    layout an int8 updateformer would use."""
+    M, K, N = 604_800, 384, 1536
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    w1f = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    w2f = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    g1 = jnp.ones((K,), jnp.float32)
+
+    def ln(v):
+        m = jnp.mean(v, -1, keepdims=True)
+        c = v - m
+        return c * jax.lax.rsqrt(jnp.mean(c * c, -1, keepdims=True) + 1e-6)
+
+    def step_bf16(x):
+        h = ln(x.astype(jnp.float32)).astype(jnp.bfloat16)
+        h = jax.lax.dot(h, w1f, preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h, approximate=True).astype(jnp.bfloat16)
+        y = jax.lax.dot(h, w2f, preferred_element_type=jnp.float32)
+        return chain(x, y[0, 0])
+
+    t = time_loop(step_bf16, x)
+    print(f"bf16 ln+mlp block:           {t*1e3:7.2f} ms = {4*M*K*N/t/1e12:6.1f} TF/s")
+
+    w1q = jnp.round(w1f.astype(jnp.float32) * (127.0 / 0.2)).clip(-127, 127).astype(jnp.int8)
+    w2q = jnp.round(w2f.astype(jnp.float32) * (127.0 / 0.2)).clip(-127, 127).astype(jnp.int8)
+    sw = jnp.float32(0.2 / 127.0)
+
+    def quant_rows(v):
+        s = jnp.maximum(jnp.max(jnp.abs(v), -1, keepdims=True), 1e-20) * (1 / 127.0)
+        return jnp.round(v / s).astype(jnp.int8), s
+
+    def step_w8a8(x):
+        h = ln(x.astype(jnp.float32))
+        hq, s0 = quant_rows(h)
+        a = jax.lax.dot(hq, w1q, preferred_element_type=jnp.int32)
+        a = jax.nn.gelu(a.astype(jnp.float32) * (s0 * sw), approximate=True)
+        aq, s1 = quant_rows(a)
+        y = jax.lax.dot(aq, w2q, preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * (s1 * sw)).astype(jnp.bfloat16)
+        return chain(x, y[0, 0])
+
+    t2 = time_loop(step_w8a8, x)
+    print(f"w8a8 per-token fused:        {t2*1e3:7.2f} ms = {4*M*K*N/t2/1e12:6.1f} TF/s-equiv")
+
+
 def sec_stream(rng):
     n = 256 * 1024 * 1024 // 4  # 256 MB f32
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -153,10 +232,11 @@ def sec_updateformer(rng):
 
 def main():
     rng = np.random.default_rng(0)
-    sections = sys.argv[1:] or ["peak", "mlp", "stream", "corr", "uf"]
+    sections = sys.argv[1:] or ["peak", "mlp", "int8", "stream", "corr", "uf"]
     fns = {
-        "peak": sec_peak_matmul, "mlp": sec_mlp_matmul, "stream": sec_stream,
-        "corr": sec_corr, "uf": sec_updateformer,
+        "peak": sec_peak_matmul, "mlp": sec_mlp_matmul, "int8": sec_int8_matmul,
+        "int8mlp": sec_int8_mlp, "stream": sec_stream, "corr": sec_corr,
+        "uf": sec_updateformer,
     }
     for s in sections:
         fns[s](rng)
