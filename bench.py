@@ -51,6 +51,9 @@ def main():
         # on the L2-normalized maps)
         corr_quant_int8=on_tpu,
         use_pallas_attn=on_tpu,
+        # fused W8A8 block bodies in the updateformer (LN+qkv, out+MLP):
+        # the s8 MXU path runs ~2x bf16 on this chip (scripts/ubench.py int8)
+        attn_quant_int8=on_tpu,
     )
     params = init_params(model)
 

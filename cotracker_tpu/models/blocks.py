@@ -39,20 +39,80 @@ def layer_norm(x, eps: float = 1e-6):
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+class Dense(nn.Module):
+    """nn.Dense twin with a declared input width.
+
+    Identical param tree ("kernel"/"bias", same initializers) and identical
+    compute to nn.Dense, but the params are declared in setup so the fused
+    int8 kernels (ops/kernels/mlp_int8_pallas.py) can read `.kernel`/`.bias`
+    directly instead of re-deriving them through a module call.
+    """
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        self.bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+
+    def __call__(self, x):
+        from flax.linen.dtypes import promote_dtype
+
+        x, kernel, bias = promote_dtype(x, self.kernel, self.bias, dtype=self.dtype)
+        y = jax.lax.dot_general(x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
+class AffineLayerNorm(nn.Module):
+    """nn.LayerNorm twin (f32 statistics, learnable scale/bias) whose params
+    are readable for kernel fusion. Same param names as nn.LayerNorm."""
+
+    dim: int
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones_init(), (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
+
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * self.scale.astype(jnp.float32) + self.bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
 class Mlp(nn.Module):
     """Two-layer MLP (reference blocks.py:40-76)."""
 
+    in_features: int
     hidden_features: int
     out_features: int
     approximate_gelu: bool = False
     dtype: Any = None  # compute dtype (params stay f32)
 
-    @nn.compact
+    def setup(self):
+        self.fc1 = Dense(self.hidden_features, self.in_features, dtype=self.dtype)
+        self.fc2 = Dense(self.out_features, self.hidden_features, dtype=self.dtype)
+
     def __call__(self, x):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = self.fc1(x)
         x = nn.gelu(x, approximate=self.approximate_gelu)
-        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
-        return x
+        return self.fc2(x)
 
 
 class ResidualBlock(nn.Module):
@@ -138,12 +198,13 @@ class Attention(nn.Module):
     out_dim: int = 384
     dtype: Any = None
     use_pallas: bool = False  # fused VMEM attention core (inference hot path)
+    dim: int = 384  # token width of queries/context (declared for kernel fusion)
 
     def setup(self):
         inner = self.num_heads * self.dim_head
-        self.to_q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")
-        self.to_kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")
-        self.to_out = nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")
+        self.to_q = Dense(inner, self.dim, use_bias=self.qkv_bias, dtype=self.dtype)
+        self.to_kv = Dense(inner * 2, self.dim, use_bias=self.qkv_bias, dtype=self.dtype)
+        self.to_out = Dense(self.out_dim, inner, dtype=self.dtype)
 
     def __call__(self, x, context=None, attn_bias=None):
         h, d = self.num_heads, self.dim_head
@@ -264,7 +325,14 @@ def _key_mask_bias(mask, n_queries: int, num_heads: int, dtype):
 
 
 class AttnBlock(nn.Module):
-    """Pre-norm self-attention + MLP block (reference blocks.py:401-438)."""
+    """Pre-norm self-attention + MLP block (reference blocks.py:401-438).
+
+    With `quant_int8` (inference flag), the whole block body runs as three
+    fused Pallas passes — [LN+qkv W8A8] -> [attention core] -> [out-proj +
+    residual + LN + W8A8 MLP + residual] (ops/kernels/mlp_int8_pallas.py) —
+    instead of ~10 XLA ops; falls back to the XLA path whenever shapes
+    don't tile or a mask is present.
+    """
 
     hidden_size: int = 384
     num_heads: int = 8
@@ -272,23 +340,57 @@ class AttnBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = None
     use_pallas_attn: bool = False
+    quant_int8: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.attn = Attention(
+            self.num_heads, self.dim_head, qkv_bias=True,
+            out_dim=self.hidden_size, dtype=self.dtype,
+            use_pallas=self.use_pallas_attn, dim=self.hidden_size,
+        )
+        self.mlp = Mlp(
+            self.hidden_size, int(self.hidden_size * self.mlp_ratio),
+            self.hidden_size, approximate_gelu=True, dtype=self.dtype,
+        )
+
+    def _quant_forward(self, x):
+        from cotracker_tpu.ops.kernels.attention_pallas import fused_time_attention
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import (
+            fused_attnout_res_mlp_int8,
+            fused_ln_qkv_int8,
+        )
+
+        at = self.attn
+        qkv = fused_ln_qkv_int8(x, at.to_q.kernel, at.to_q.bias,
+                                at.to_kv.kernel, at.to_kv.bias)
+        if qkv is None:
+            return None
+        a = fused_time_attention(qkv[0], qkv[1], self.num_heads, self.dim_head)
+        return fused_attnout_res_mlp_int8(
+            a, x, at.to_out.kernel, at.to_out.bias,
+            self.mlp.fc1.kernel, self.mlp.fc1.bias,
+            self.mlp.fc2.kernel, self.mlp.fc2.bias,
+        )
+
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        if (
+            self.quant_int8
+            and mask is None
+            and x.ndim == 3
+            and x.shape[0] % 8 == 0
+            and self.hidden_size == self.num_heads * self.dim_head
+        ):
+            y = self._quant_forward(x)
+            if y is not None:
+                return y
         attn_bias = None
         if mask is not None:
             # pairwise mask: query i attends key j iff mask_i & mask_j
             pm = mask[:, None, :] & mask[:, :, None]  # (B, N, N)
             neg = -jnp.finfo(jnp.float32).max
             attn_bias = jnp.where(pm, 0.0, neg)[:, None].astype(jnp.float32)
-        x = x + Attention(
-            self.num_heads, self.dim_head, qkv_bias=True,
-            out_dim=self.hidden_size, dtype=self.dtype,
-            use_pallas=self.use_pallas_attn, name="attn",
-        )(layer_norm(x), attn_bias=attn_bias)
-        x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, approximate_gelu=True, dtype=self.dtype, name="mlp")(
-            layer_norm(x)
-        )
+        x = x + self.attn(layer_norm(x), attn_bias=attn_bias)
+        x = x + self.mlp(layer_norm(x))
         return x
 
 
@@ -309,17 +411,18 @@ class CrossAttnBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = None
     use_pallas_attn: bool = False  # fused space-attention cores (inference)
+    quant_int8: bool = False
 
     def setup(self):
-        self.norm_context = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")
+        self.norm_context = AffineLayerNorm(self.hidden_size, epsilon=1e-5, dtype=self.dtype)
         self.cross_attn = Attention(
             self.num_heads, self.dim_head, qkv_bias=True,
             out_dim=self.hidden_size, dtype=self.dtype,
-            use_pallas=self.use_pallas_attn, name="cross_attn",
+            use_pallas=self.use_pallas_attn, dim=self.hidden_size,
         )
         self.mlp = Mlp(
-            int(self.hidden_size * self.mlp_ratio), self.hidden_size,
-            approximate_gelu=True, dtype=self.dtype, name="mlp",
+            self.hidden_size, int(self.hidden_size * self.mlp_ratio),
+            self.hidden_size, approximate_gelu=True, dtype=self.dtype,
         )
 
     def __call__(
@@ -348,19 +451,100 @@ class CrossAttnBlock(nn.Module):
 
     def virtual_from_points(self, virtual, points, key_mask=None):
         """virtual (B, T, V, C) frame-major queries; points (B, N, T, C)
-        track-native keys/values; key_mask (B, N)."""
+        track-native keys/values; key_mask (B, N).
+
+        quant path: the context norm + to_kv projection over the big point
+        tensor fuse into one W8A8 Pallas pass feeding the flash
+        virtual<-points kernel; the tiny virtual-side ops stay XLA."""
+        if (
+            self.quant_int8
+            and points.ndim == 4
+            and points.shape[1] % 512 == 0
+            and self.hidden_size == self.num_heads * self.dim_head
+        ):
+            out = self._quant_virtual_from_points(virtual, points, key_mask)
+            if out is not None:
+                return out
         ctx = self.norm_context(points)
         virtual = virtual + self.cross_attn.virtual_from_points(
             layer_norm(virtual), ctx, key_mask=key_mask
         )
         return virtual + self.mlp(layer_norm(virtual))
 
+    def _quant_virtual_from_points(self, virtual, points, key_mask):
+        from cotracker_tpu.ops.kernels.attention_pallas import (
+            fused_virtual_from_points,
+        )
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_ln_dense_int8
+
+        at = self.cross_attn
+        nc = self.norm_context
+        kv = fused_ln_dense_int8(
+            points, at.to_kv.kernel, at.to_kv.bias, eps=nc.epsilon, ln=True,
+            gamma=nc.scale, beta=nc.bias,
+        )
+        if kv is None:
+            return None
+        B, N = points.shape[:2]
+        q = at.to_q(layer_norm(virtual))  # (B, T, V, C) — tiny
+        bias = (
+            jnp.zeros((B, N), jnp.float32)
+            if key_mask is None
+            else jnp.where(key_mask, 0.0, -0.7 * jnp.finfo(jnp.float32).max)
+        )
+        out = jax.vmap(
+            lambda qq, kk, bb: fused_virtual_from_points(
+                qq, kk, self.num_heads, self.dim_head, key_bias=bb
+            )
+        )(q, kv, bias)
+        virtual = virtual + at.to_out(out)
+        return virtual + self.mlp(layer_norm(virtual))
+
     def points_from_virtual(self, points, virtual, query_mask=None):
         """points (B, N, T, C) track-native queries; virtual (B, T, V, C)
         frame-major keys/values; query_mask (B, N) applies the v2 uniform-
-        attention convention to masked queries."""
+        attention convention to masked queries.
+
+        quant path: [LN + to_q W8A8] over the big point tensor -> per-frame
+        attention over virtual tokens -> [out-proj + residual + LN + W8A8
+        MLP + residual] in one Pallas pass each."""
+        if (
+            self.quant_int8
+            and query_mask is None
+            and points.ndim == 4
+            and points.shape[1] % 512 == 0
+            and self.hidden_size == self.num_heads * self.dim_head
+        ):
+            out = self._quant_points_from_virtual(points, virtual)
+            if out is not None:
+                return out
         ctx = self.norm_context(virtual)
         points = points + self.cross_attn.points_from_virtual(
             layer_norm(points), ctx, query_mask=query_mask
         )
         return points + self.mlp(layer_norm(points))
+
+    def _quant_points_from_virtual(self, points, virtual):
+        from cotracker_tpu.ops.kernels.attention_pallas import (
+            fused_points_from_virtual,
+        )
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import (
+            fused_attnout_res_mlp_int8,
+            fused_ln_dense_int8,
+        )
+
+        at = self.cross_attn
+        q = fused_ln_dense_int8(points, at.to_q.kernel, at.to_q.bias, ln=True)
+        if q is None:
+            return None
+        kv = at.to_kv(self.norm_context(virtual))  # (B, T, V, 2C) — tiny
+        a = jax.vmap(
+            lambda qq, kk: fused_points_from_virtual(
+                qq, kk, self.num_heads, self.dim_head
+            )
+        )(q, kv)
+        return fused_attnout_res_mlp_int8(
+            a, points, at.to_out.kernel, at.to_out.bias,
+            self.mlp.fc1.kernel, self.mlp.fc1.bias,
+            self.mlp.fc2.kernel, self.mlp.fc2.bias,
+        )

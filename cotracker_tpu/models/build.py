@@ -43,6 +43,7 @@ def build_cotracker(
         fast_kw = dict(
             dtype=jnp.bfloat16, corr_chunk=2048,
             use_pallas_corr=True, corr_quant_int8=True, use_pallas_attn=True,
+            attn_quant_int8=True,
         ) if fast else dict(dtype=dtype)
         model = CoTrackerThree(
             window_len=window_len, model_resolution=model_resolution, **fast_kw

@@ -153,6 +153,7 @@ class IterationCore(nn.Module):
     use_pallas_corr: bool = False
     corr_quant_int8: bool = False
     use_pallas_attn: bool = False
+    attn_quant_int8: bool = False
 
     def setup(self):
         self.corr_mlp = CorrFeaturizer(
@@ -173,6 +174,7 @@ class IterationCore(nn.Module):
             linear_layer_for_vis_conf=self.linear_layer_for_vis_conf,
             dtype=None if self.dtype == jnp.float32 else self.dtype,
             use_pallas_attn=self.use_pallas_attn,
+            quant_int8=self.attn_quant_int8,
             name="updateformer",
         )
 
@@ -265,6 +267,9 @@ class CoTrackerThree(nn.Module):
     corr_quant_int8: bool = False
     # run the updateformer time-attention core as a Pallas TPU kernel
     use_pallas_attn: bool = False
+    # run the updateformer block bodies (qkv/out projections + MLPs) as
+    # fused W8A8 Pallas kernels (see ops/kernels/mlp_int8_pallas.py)
+    attn_quant_int8: bool = False
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride, dtype=self.dtype)
@@ -291,6 +296,7 @@ class CoTrackerThree(nn.Module):
             use_pallas_corr=self.use_pallas_corr,
             corr_quant_int8=self.corr_quant_int8,
             use_pallas_attn=self.use_pallas_attn,
+            attn_quant_int8=self.attn_quant_int8,
             name="iter_core",
         )
         # Deterministic sincos time embedding over the trained window length

@@ -37,6 +37,7 @@ class EfficientUpdateFormer(nn.Module):
     linear_layer_for_vis_conf: bool = True
     dtype: Any = None
     use_pallas_attn: bool = False  # fused time-attention core (inference)
+    quant_int8: bool = False  # fused W8A8 block bodies (inference)
     # Legacy (CoTracker2) mask conventions, reference cotracker.py:507-523:
     # track_mask additionally QUERY-masks the points<-virtual attention
     # (masked queries degrade to the uniform average of the virtual values).
@@ -72,7 +73,7 @@ class EfficientUpdateFormer(nn.Module):
             AttnBlock(
                 self.hidden_size, self.num_heads, dim_head, self.mlp_ratio,
                 dtype=self.dtype, use_pallas_attn=self.use_pallas_attn,
-                name=f"time_blocks_{i}",
+                quant_int8=self.quant_int8, name=f"time_blocks_{i}",
             )
             for i in range(self.time_depth)
         ]
@@ -85,6 +86,7 @@ class EfficientUpdateFormer(nn.Module):
                 CrossAttnBlock(
                     self.hidden_size, self.num_heads, dim_head, self.mlp_ratio,
                     dtype=self.dtype, use_pallas_attn=self.use_pallas_attn,
+                    quant_int8=self.quant_int8,
                     name=f"space_point2virtual_blocks_{i}",
                 )
                 for i in range(self.space_depth)
@@ -93,6 +95,7 @@ class EfficientUpdateFormer(nn.Module):
                 CrossAttnBlock(
                     self.hidden_size, self.num_heads, dim_head, self.mlp_ratio,
                     dtype=self.dtype, use_pallas_attn=self.use_pallas_attn,
+                    quant_int8=self.quant_int8,
                     name=f"space_virtual2point_blocks_{i}",
                 )
                 for i in range(self.space_depth)

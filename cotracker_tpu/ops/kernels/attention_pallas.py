@@ -224,6 +224,8 @@ def fused_virtual_from_points(q, kv, num_heads: int, dim_head: int,
     T, V, C = q.shape
     N = kv.shape[0]
     assert C == num_heads * dim_head and kv.shape == (N, T, 2 * C)
+    if N % block_n:
+        block_n = 512  # callers gate on N % 512 == 0
     assert N % block_n == 0, (N, block_n)
     assert (2 * C) % 128 == 0
     L = 2 * C // 128

@@ -1,0 +1,351 @@
+"""Pallas TPU kernels: fused LayerNorm + W8A8 transformer MLP / projections.
+
+The update transformer's per-iteration cost is matmul-bound (BASELINE.md):
+at N=10k tracks each of the 6 big blocks pays ~17.4 ms for its MLP pair and
+~9 ms for qkvo projections, all bf16 at this chip's ~81 TF/s roof. The MXU
+runs s8 x s8 -> s32 at ~158 TOP/s (scripts/ubench.py `int8`), but a plain-XLA
+W8A8 path LOSES: the dynamic activation-quantize passes don't fuse and their
+HBM traffic dominates (ubench `int8mlp`: 23.9 ms vs 18.6 bf16).
+
+These kernels keep the quantization in VMEM where it is free of HBM traffic:
+
+    x --(one HBM read)--> [LN -> row-absmax -> s8] -> s8 dot -> dequant(+b)
+      -> gelu(tanh) -> [row-absmax -> s8] -> s8 dot -> dequant(+b)
+      -> +residual --(one HBM write)--> out
+
+Quantization scheme (standard W8A8):
+  * weights: per-output-channel symmetric int8, scales folded into the f32
+    dequant epilogue (quantize once per forward via `quantize_weight`);
+  * activations: per-row (token) dynamic symmetric int8, scales computed
+    in-kernel from the tile — exact row absmax, no calibration;
+  * LayerNorm statistics, dequant, bias, GELU all f32; residual added in f32.
+
+Numerics: relative quantization step is ~1/127 of each row/channel absmax,
+on par with bf16 rounding on pre-activations; gated behind the same
+`quant_int8` inference flag as the corr kernel's int8 path.
+
+Reference parity target: AttnBlock/CrossAttnBlock pre-norm blocks
+(/root/reference/cotracker/models/core/cotracker/blocks.py:401-438,
+cotracker.py:534-577): x + mlp(ln(x)) with affine-free LN (eps 1e-6) and
+tanh-approximate GELU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def quantize_weight(w):
+    """Per-output-channel symmetric int8 weight quantization.
+
+    w: (K, N) float -> (w8 (K, N) int8, scale (1, N) f32) with
+    w ~= w8 * scale. Cheap (one pass over the weight); call per forward and
+    let XLA hoist it out of the iteration scan (loop-invariant).
+    """
+    w32 = w.astype(F32)
+    s = jnp.maximum(jnp.max(jnp.abs(w32), axis=0, keepdims=True), 1e-20) * (1.0 / 127.0)
+    return jnp.round(w32 / s).astype(jnp.int8), s
+
+
+def _ln(x32, eps):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    c = x32 - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    return c * jax.lax.rsqrt(var + eps)
+
+
+def _quant_rows(v32):
+    s = jnp.maximum(jnp.max(jnp.abs(v32), axis=-1, keepdims=True), 1e-20) * (
+        1.0 / 127.0
+    )
+    return jnp.round(v32 * (1.0 / s)).astype(jnp.int8), s
+
+
+def _gelu_tanh(x32):
+    # tanh-approximate GELU (the blocks use approximate_gelu=True); erf is
+    # not a Mosaic primitive anyway (CLAUDE.md).
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x32 * (1.0 + jnp.tanh(c * (x32 + 0.044715 * x32 * x32 * x32)))
+
+
+def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref,
+                *, eps, ln):
+    x32 = x_ref[...].astype(F32)
+    h = _ln(x32, eps) if ln else x32
+    hq, sr0 = _quant_rows(h)
+    a = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
+    a = a.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...]
+    a = _gelu_tanh(a)
+    aq, sr1 = _quant_rows(a)
+    y = jax.lax.dot(aq, w2_ref[...], preferred_element_type=jnp.int32)
+    y = y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...]
+    o_ref[...] = (x32 + y).astype(o_ref.dtype)
+
+
+def _pick_tile(M, max_tm: int = 1024):
+    for tm in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if tm <= max_tm and M % tm == 0:
+            return tm
+    return None
+
+
+def fused_ln_mlp_int8(x, w1, b1, w2, b2, eps: float = 1e-6, ln: bool = True,
+                      interpret: bool = False):
+    """x + fc2(gelu(fc1(layer_norm(x)))) with W8A8 matmuls, one HBM pass.
+
+    x: (..., C); w1 (C, H); w2 (H, C). Returns same shape/dtype as x.
+    Falls back to None (caller uses the XLA path) when the flattened row
+    count has no 8-multiple tile divisor or dims are not lane-aligned.
+    """
+    C = x.shape[-1]
+    H = w1.shape[1]
+    if C % 128 or H % 128:
+        return None
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    tm = _pick_tile(M)
+    if tm is None:
+        return None
+    xf = x.reshape(M, C)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps, ln=ln),
+        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        grid=(M // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, C), lambda i: (i, 0)),
+        interpret=interpret,
+    )(
+        xf,
+        w1q,
+        s1,
+        b1.astype(F32).reshape(1, H),
+        w2q,
+        s2,
+        b2.astype(F32).reshape(1, C),
+    )
+    return out.reshape(x.shape)
+
+
+def _dense_kernel(x_ref, w_ref, s_ref, b_ref, *rest, eps, ln, affine, residual):
+    if affine:
+        g_ref, be_ref, o_ref = rest
+    else:
+        o_ref, = rest
+    x32 = x_ref[...].astype(F32)
+    h = _ln(x32, eps) if ln else x32
+    if affine:
+        h = h * g_ref[...] + be_ref[...]
+    hq, sr = _quant_rows(h)
+    y = jax.lax.dot(hq, w_ref[...], preferred_element_type=jnp.int32)
+    y = y.astype(F32) * (sr * s_ref[...]) + b_ref[...]
+    if residual:
+        y = y + x32
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def fused_ln_dense_int8(x, w, b=None, eps: float = 1e-6, ln: bool = False,
+                        gamma=None, beta=None, residual: bool = False,
+                        interpret: bool = False):
+    """[x +] ((layer_norm(x) [* gamma + beta]) @ w + b), one HBM pass, W8A8.
+
+    Covers attention qkv/out projections: `ln=True` for the pre-norm
+    q/kv projections (fused with the shared LayerNorm; pass gamma/beta for
+    an affine LN like the cross-attention context norm), `residual=True`
+    for the output projection. w: (C, N); residual requires N == C.
+    Returns None when shapes don't tile (caller falls back to XLA).
+    """
+    C = x.shape[-1]
+    N = w.shape[1]
+    if C % 128 or N % 128 or (residual and N != C):
+        return None
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    tm = _pick_tile(M)
+    if tm is None:
+        return None
+    xf = x.reshape(M, C)
+    wq, s = quantize_weight(w)
+    bias = jnp.zeros((1, N), F32) if b is None else b.astype(F32).reshape(1, N)
+    affine = gamma is not None
+    ops = [xf, wq, s, bias]
+    in_specs = [
+        pl.BlockSpec((tm, C), lambda i: (i, 0)),
+        pl.BlockSpec((C, N), lambda i: (0, 0)),
+        pl.BlockSpec((1, N), lambda i: (0, 0)),
+        pl.BlockSpec((1, N), lambda i: (0, 0)),
+    ]
+    if affine:
+        ops += [gamma.astype(F32).reshape(1, C), beta.astype(F32).reshape(1, C)]
+        in_specs += [pl.BlockSpec((1, C), lambda i: (0, 0))] * 2
+
+    out = pl.pallas_call(
+        functools.partial(
+            _dense_kernel, eps=eps, ln=ln, affine=affine, residual=residual
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        grid=(M // tm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, N), lambda i: (i, 0)),
+        interpret=interpret,
+    )(*ops)
+    return out.reshape(x.shape[:-1] + (N,))
+
+
+def _qkv_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref, bkv_ref,
+                q_ref, kv_ref, *, eps):
+    x32 = x_ref[...].astype(F32)
+    h = _ln(x32, eps)
+    hq, sr = _quant_rows(h)
+    q = jax.lax.dot(hq, wq_ref[...], preferred_element_type=jnp.int32)
+    q_ref[...] = (q.astype(F32) * (sr * sq_ref[...]) + bq_ref[...]).astype(
+        q_ref.dtype
+    )
+    kv = jax.lax.dot(hq, wkv_ref[...], preferred_element_type=jnp.int32)
+    kv_ref[...] = (kv.astype(F32) * (sr * skv_ref[...]) + bkv_ref[...]).astype(
+        kv_ref.dtype
+    )
+
+
+def fused_ln_qkv_int8(x, wq, bq, wkv, bkv, eps: float = 1e-6,
+                      interpret: bool = False):
+    """(to_q(ln(x)), to_kv(ln(x))) with W8A8 matmuls and ONE read of x.
+
+    The pre-norm attention entry: one LayerNorm + row quantization feeds
+    both projections. wq: (C, Cq); wkv: (C, Ckv). Returns (q, kv) shaped
+    (..., Cq) / (..., Ckv), or None when shapes don't tile.
+    """
+    C = x.shape[-1]
+    Cq, Ckv = wq.shape[1], wkv.shape[1]
+    if C % 128 or Cq % 128 or Ckv % 128:
+        return None
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    tm = _pick_tile(M)
+    if tm is None:
+        return None
+    xf = x.reshape(M, C)
+    wqq, sq = quantize_weight(wq)
+    wkvq, skv = quantize_weight(wkv)
+    zq = jnp.zeros((1, Cq), F32) if bq is None else bq.astype(F32).reshape(1, Cq)
+    zkv = (
+        jnp.zeros((1, Ckv), F32) if bkv is None else bkv.astype(F32).reshape(1, Ckv)
+    )
+
+    q, kv = pl.pallas_call(
+        functools.partial(_qkv_kernel, eps=eps),
+        out_shape=[
+            jax.ShapeDtypeStruct((M, Cq), x.dtype),
+            jax.ShapeDtypeStruct((M, Ckv), x.dtype),
+        ],
+        grid=(M // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, Cq), lambda i: (0, 0)),
+            pl.BlockSpec((1, Cq), lambda i: (0, 0)),
+            pl.BlockSpec((1, Cq), lambda i: (0, 0)),
+            pl.BlockSpec((C, Ckv), lambda i: (0, 0)),
+            pl.BlockSpec((1, Ckv), lambda i: (0, 0)),
+            pl.BlockSpec((1, Ckv), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, Cq), lambda i: (i, 0)),
+            pl.BlockSpec((tm, Ckv), lambda i: (i, 0)),
+        ],
+        interpret=interpret,
+    )(xf, wqq, sq, zq, wkvq, skv, zkv)
+    return q.reshape(x.shape[:-1] + (Cq,)), kv.reshape(x.shape[:-1] + (Ckv,))
+
+
+def _out_mlp_kernel(a_ref, x_ref, wo_ref, so_ref, bo_ref, w1_ref, s1_ref,
+                    b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *, eps):
+    # r = x + to_out(attn_core_out); out = r + fc2(gelu(fc1(ln(r))))
+    a32 = a_ref[...].astype(F32)
+    aq, sra = _quant_rows(a32)
+    r = jax.lax.dot(aq, wo_ref[...], preferred_element_type=jnp.int32)
+    r = x_ref[...].astype(F32) + r.astype(F32) * (sra * so_ref[...]) + bo_ref[...]
+    h = _ln(r, eps)
+    hq, sr0 = _quant_rows(h)
+    u = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
+    u = u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...]
+    u = _gelu_tanh(u)
+    uq, sr1 = _quant_rows(u)
+    y = jax.lax.dot(uq, w2_ref[...], preferred_element_type=jnp.int32)
+    y = y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...]
+    o_ref[...] = (r + y).astype(o_ref.dtype)
+
+
+def fused_attnout_res_mlp_int8(a, x, wo, bo, w1, b1, w2, b2,
+                               eps: float = 1e-6, interpret: bool = False):
+    """The post-attention half of a pre-norm block, one HBM pass, W8A8:
+
+        r = x + to_out(a);  return r + fc2(gelu(fc1(layer_norm(r))))
+
+    a: attention-core output (..., C); x: the residual stream (..., C);
+    wo (C, C); w1 (C, H); w2 (H, C). Returns None when shapes don't tile.
+    """
+    C = x.shape[-1]
+    H = w1.shape[1]
+    if C % 128 or H % 128 or a.shape != x.shape or wo.shape != (C, C):
+        return None
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    tm = _pick_tile(M, max_tm=512)  # s32 hidden tile: keep VMEM comfortable
+    if tm is None:
+        return None
+    woq, so = quantize_weight(wo)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+
+    out = pl.pallas_call(
+        functools.partial(_out_mlp_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        grid=(M // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, C), lambda i: (i, 0)),
+            pl.BlockSpec((tm, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, C), lambda i: (i, 0)),
+        interpret=interpret,
+    )(
+        a.reshape(M, C),
+        x.reshape(M, C),
+        woq,
+        so,
+        bo.astype(F32).reshape(1, C),
+        w1q,
+        s1,
+        b1.astype(F32).reshape(1, H),
+        w2q,
+        s2,
+        b2.astype(F32).reshape(1, C),
+    )
+    return out.reshape(x.shape)

@@ -156,6 +156,38 @@ def sec_int8_mlp(rng):
     print(f"w8a8 per-token fused:        {t2*1e3:7.2f} ms = {4*M*K*N/t2/1e12:6.1f} TF/s-equiv")
 
 
+def sec_int8_pallas(rng):
+    """The fused Pallas LN+W8A8 MLP block vs the bf16 XLA block (18.6 ms,
+    sec_int8_mlp). Also the fused qkv-projection form."""
+    from cotracker_tpu.ops.kernels.mlp_int8_pallas import (
+        fused_ln_mlp_int8, fused_ln_dense_int8,
+    )
+
+    M, K, N = 604_800, 384, 1536
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    b1 = jnp.zeros((N,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32) * 0.05)
+    b2 = jnp.zeros((K,), jnp.float32)
+
+    def step(x):
+        y = fused_ln_mlp_int8(x, w1, b1, w2, b2)
+        return chain(x, y[0, 0])
+
+    t = time_loop(step, x)
+    print(f"pallas ln+w8a8 mlp block:    {t*1e3:7.2f} ms = {4*M*K*N/t/1e12:6.1f} TF/s-equiv")
+
+    wq = jnp.asarray(rng.standard_normal((K, 3 * K)).astype(np.float32) * 0.05)
+    bq = jnp.zeros((3 * K,), jnp.float32)
+
+    def step_qkv(x):
+        y = fused_ln_dense_int8(x, wq, bq, ln=True)
+        return chain(x, y[0, 0])
+
+    t2 = time_loop(step_qkv, x)
+    print(f"pallas ln+w8a8 qkv proj:     {t2*1e3:7.2f} ms = {2*M*K*3*K/t2/1e12:6.1f} TF/s-equiv")
+
+
 def sec_stream(rng):
     n = 256 * 1024 * 1024 // 4  # 256 MB f32
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -235,7 +267,7 @@ def main():
     sections = sys.argv[1:] or ["peak", "mlp", "int8", "stream", "corr", "uf"]
     fns = {
         "peak": sec_peak_matmul, "mlp": sec_mlp_matmul, "int8": sec_int8_matmul,
-        "int8mlp": sec_int8_mlp, "stream": sec_stream, "corr": sec_corr,
+        "int8mlp": sec_int8_mlp, "int8pallas": sec_int8_pallas, "stream": sec_stream, "corr": sec_corr,
         "uf": sec_updateformer,
     }
     for s in sections:

@@ -198,3 +198,96 @@ class TestPallasSpaceAttention:
         p /= p.sum(-1, keepdims=True)
         ref = np.einsum("nthv,tvhd->nthd", p, vh).reshape(N, T, C)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+class TestInt8Blocks:
+    """Fused W8A8 block kernels (ops/kernels/mlp_int8_pallas.py) vs the f32
+    XLA math, interpret mode. W8A8 tolerance: per-row/channel absmax quant
+    gives ~1-2% relative noise per matmul."""
+
+    def _ln(self, v, eps=1e-6):
+        v = v.astype(jnp.float32)
+        m = jnp.mean(v, -1, keepdims=True)
+        c = v - m
+        return c * jax.lax.rsqrt(jnp.mean(c * c, -1, keepdims=True) + eps)
+
+    def _assert_close(self, out, ref, tol=0.05):
+        out = np.asarray(out, np.float32)
+        ref = np.asarray(ref, np.float32)
+        scale = np.abs(ref).mean()
+        err = np.abs(out - ref) / (np.abs(ref) + 0.1 * scale)
+        assert np.median(err) < tol, (np.median(err), tol)
+        assert np.percentile(err, 99) < 10 * tol, np.percentile(err, 99)
+
+    def test_ln_mlp(self):
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_ln_mlp_int8
+
+        rng = np.random.default_rng(0)
+        M, C, H = 64, 384, 1536
+        x = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.standard_normal(H).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        ref = x + (
+            jax.nn.gelu(self._ln(x) @ w1 + b1, approximate=True) @ w2 + b2
+        )
+        out = fused_ln_mlp_int8(x, w1, b1, w2, b2, interpret=True)
+        self._assert_close(out, ref)
+
+    def test_ln_qkv(self):
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_ln_qkv_int8
+
+        rng = np.random.default_rng(1)
+        M, C = 64, 384
+        x = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32))
+        wq = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.05)
+        bq = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        wkv = jnp.asarray(rng.standard_normal((C, 2 * C)).astype(np.float32) * 0.05)
+        bkv = jnp.asarray(rng.standard_normal(2 * C).astype(np.float32) * 0.1)
+        q, kv = fused_ln_qkv_int8(x, wq, bq, wkv, bkv, interpret=True)
+        h = self._ln(x)
+        self._assert_close(q, h @ wq + bq)
+        self._assert_close(kv, h @ wkv + bkv)
+
+    def test_ln_dense_affine_residual(self):
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_ln_dense_int8
+
+        rng = np.random.default_rng(2)
+        M, C = 64, 384
+        x = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((C, 2 * C)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.standard_normal(2 * C).astype(np.float32) * 0.1)
+        g = jnp.asarray(1.0 + 0.2 * rng.standard_normal(C).astype(np.float32))
+        be = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+        out = fused_ln_dense_int8(
+            x, w, b, eps=1e-5, ln=True, gamma=g, beta=be, interpret=True
+        )
+        self._assert_close(out, (self._ln(x, 1e-5) * g + be) @ w + b)
+
+        wr = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.05)
+        br = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        out = fused_ln_dense_int8(x, wr, br, residual=True, interpret=True)
+        self._assert_close(out, x + x @ wr + br)
+
+    def test_attnout_res_mlp(self):
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import (
+            fused_attnout_res_mlp_int8,
+        )
+
+        rng = np.random.default_rng(3)
+        M, C, H = 64, 384, 1536
+        a = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32))
+        wo = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.05)
+        bo = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.standard_normal(H).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        r = x + a @ wo + bo
+        ref = r + jax.nn.gelu(self._ln(r) @ w1 + b1, approximate=True) @ w2 + b2
+        out = fused_attnout_res_mlp_int8(
+            a, x, wo, bo, w1, b1, w2, b2, interpret=True
+        )
+        self._assert_close(out, ref)
