@@ -13,6 +13,7 @@ measurements land.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -36,7 +37,9 @@ def main():
     T = 60 if on_tpu else 8
     H, W = (384, 512) if on_tpu else (96, 128)
     iters = 6
-    n_pad = ((N + 63) // 64) * 64
+    # pad tracks to the fast path's bucket: the fused space kernels tile N
+    # and want a healthy divisor (see attention_pallas.pick_block_n)
+    n_pad = ((N + 511) // 512) * 512
 
     model = CoTrackerThree(
         window_len=60,
@@ -52,8 +55,9 @@ def main():
         corr_quant_int8=on_tpu,
         use_pallas_attn=on_tpu,
         # fused W8A8 block bodies in the updateformer (LN+qkv, out+MLP):
-        # the s8 MXU path runs ~2x bf16 on this chip (scripts/ubench.py int8)
-        attn_quant_int8=on_tpu,
+        # the s8 MXU path runs ~2x bf16 on this chip (scripts/ubench.py int8).
+        # BENCH_NO_ATTN_QUANT=1 disables it (A/B knob).
+        attn_quant_int8=on_tpu and not os.environ.get("BENCH_NO_ATTN_QUANT"),
     )
     params = init_params(model)
 

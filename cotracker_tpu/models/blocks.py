@@ -12,6 +12,7 @@ Submodule names intentionally mirror the reference state_dict structure so
 the checkpoint importer (models/checkpoint.py) is a direct name mapping.
 """
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -32,10 +33,15 @@ def instance_norm(x, eps: float = 1e-5):
 
 
 def layer_norm(x, eps: float = 1e-6):
-    """Affine-free LayerNorm over the last axis (torch elementwise_affine=False)."""
+    """Affine-free LayerNorm over the last axis (torch elementwise_affine=False).
+
+    Fast variance (E[x^2] - E[x]^2, one pass over the input instead of two)
+    — with f32 statistics the cancellation error is ~1e-6 relative, well
+    under the golden-test tolerances, and the big (B, N, T, C) pre-norm
+    reads are HBM-bound."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
@@ -90,7 +96,10 @@ class AffineLayerNorm(nn.Module):
     def __call__(self, x):
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.var(x32, axis=-1, keepdims=True)
+        # fast variance, one pass (nn.LayerNorm's use_fast_variance default)
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0
+        )
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * self.scale.astype(jnp.float32) + self.bias.astype(jnp.float32)
         return y.astype(x.dtype)
@@ -244,7 +253,7 @@ class Attention(nn.Module):
         h, d = self.num_heads, self.dim_head
         B, T, V, _ = virtual.shape
         N = points.shape[1]
-        if self.use_pallas and N % 512 == 0:
+        if self.use_pallas and _space_tile_ok(N):
             from cotracker_tpu.ops.kernels.attention_pallas import (
                 fused_virtual_from_points,
             )
@@ -286,7 +295,7 @@ class Attention(nn.Module):
         h, d = self.num_heads, self.dim_head
         B, N, T, _ = points.shape
         V = virtual.shape[2]
-        if self.use_pallas and query_mask is None and N % 512 == 0:
+        if self.use_pallas and query_mask is None and _space_tile_ok(N):
             from cotracker_tpu.ops.kernels.attention_pallas import (
                 fused_points_from_virtual,
             )
@@ -310,6 +319,12 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bnthv,btvhd->bnthd", attn, v).reshape(B, N, T, h * d)
         return self.to_out(out)
+
+
+def _space_tile_ok(n: int) -> bool:
+    from cotracker_tpu.ops.kernels.attention_pallas import pick_block_n
+
+    return pick_block_n(n) is not None
 
 
 def _key_mask_bias(mask, n_queries: int, num_heads: int, dtype):
@@ -358,9 +373,21 @@ class AttnBlock(nn.Module):
         from cotracker_tpu.ops.kernels.mlp_int8_pallas import (
             fused_attnout_res_mlp_int8,
             fused_ln_qkv_int8,
+            fused_time_block_int8,
         )
 
         at = self.attn
+        # whole-block kernel: q/kv/attention-out never leave VMEM
+        y = fused_time_block_int8(
+            x, at.to_q.kernel, at.to_q.bias, at.to_kv.kernel, at.to_kv.bias,
+            at.to_out.kernel, at.to_out.bias,
+            self.mlp.fc1.kernel, self.mlp.fc1.bias,
+            self.mlp.fc2.kernel, self.mlp.fc2.bias,
+            self.num_heads, self.dim_head,
+        )
+        if y is not None:
+            return y
+        # three-kernel split (q/kv and attention-out round-trip HBM)
         qkv = fused_ln_qkv_int8(x, at.to_q.kernel, at.to_q.bias,
                                 at.to_kv.kernel, at.to_kv.bias)
         if qkv is None:
@@ -372,9 +399,15 @@ class AttnBlock(nn.Module):
             self.mlp.fc2.kernel, self.mlp.fc2.bias,
         )
 
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, quant_ok: bool = True):
+        # quant_ok: static caller-side gate — the updateformer disables the
+        # fused block when the DOWNSTREAM space round cannot tile N: a fused
+        # time block feeding the XLA space einsums forces layout copies of
+        # the token tensor (~+70 ms/iter measured), so engage all-or-nothing.
         if (
             self.quant_int8
+            and quant_ok
+            and not os.environ.get("COTRACKER_NO_TIME_QUANT")  # A/B debug knob
             and mask is None
             and x.ndim == 3
             and x.shape[0] % 8 == 0
@@ -458,8 +491,9 @@ class CrossAttnBlock(nn.Module):
         virtual<-points kernel; the tiny virtual-side ops stay XLA."""
         if (
             self.quant_int8
+            and not os.environ.get("COTRACKER_NO_SPACE_QUANT")  # A/B debug knob
             and points.ndim == 4
-            and points.shape[1] % 512 == 0
+            and _space_tile_ok(points.shape[1])
             and self.hidden_size == self.num_heads * self.dim_head
         ):
             out = self._quant_virtual_from_points(virtual, points, key_mask)
@@ -473,18 +507,11 @@ class CrossAttnBlock(nn.Module):
 
     def _quant_virtual_from_points(self, virtual, points, key_mask):
         from cotracker_tpu.ops.kernels.attention_pallas import (
-            fused_virtual_from_points,
+            fused_virtual_from_points_proj,
         )
-        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_ln_dense_int8
 
         at = self.cross_attn
         nc = self.norm_context
-        kv = fused_ln_dense_int8(
-            points, at.to_kv.kernel, at.to_kv.bias, eps=nc.epsilon, ln=True,
-            gamma=nc.scale, beta=nc.bias,
-        )
-        if kv is None:
-            return None
         B, N = points.shape[:2]
         q = at.to_q(layer_norm(virtual))  # (B, T, V, C) — tiny
         bias = (
@@ -492,11 +519,14 @@ class CrossAttnBlock(nn.Module):
             if key_mask is None
             else jnp.where(key_mask, 0.0, -0.7 * jnp.finfo(jnp.float32).max)
         )
+        # flash attention with the context-norm + to_kv projection fused in:
+        # the (B, N, T, 2C) kv tensor never exists in HBM
         out = jax.vmap(
-            lambda qq, kk, bb: fused_virtual_from_points(
-                qq, kk, self.num_heads, self.dim_head, key_bias=bb
+            lambda qq, xx, bb: fused_virtual_from_points_proj(
+                qq, xx, at.to_kv.kernel, at.to_kv.bias, nc.scale, nc.bias,
+                self.num_heads, self.dim_head, key_bias=bb, eps=nc.epsilon,
             )
-        )(q, kv, bias)
+        )(q, points, bias)
         virtual = virtual + at.to_out(out)
         return virtual + self.mlp(layer_norm(virtual))
 
@@ -510,9 +540,10 @@ class CrossAttnBlock(nn.Module):
         MLP + residual] in one Pallas pass each."""
         if (
             self.quant_int8
+            and not os.environ.get("COTRACKER_NO_SPACE_QUANT")  # A/B debug knob
             and query_mask is None
             and points.ndim == 4
-            and points.shape[1] % 512 == 0
+            and _space_tile_ok(points.shape[1])
             and self.hidden_size == self.num_heads * self.dim_head
         ):
             out = self._quant_points_from_virtual(points, virtual)
@@ -531,13 +562,26 @@ class CrossAttnBlock(nn.Module):
         from cotracker_tpu.ops.kernels.mlp_int8_pallas import (
             fused_attnout_res_mlp_int8,
             fused_ln_dense_int8,
+            fused_space_block_int8,
         )
 
         at = self.cross_attn
+        kv = at.to_kv(self.norm_context(virtual))  # (B, T, V, 2C) — tiny
+        # whole-block kernel: q and attention-out never leave VMEM
+        y = jax.vmap(
+            lambda xx, kk: fused_space_block_int8(
+                xx, kk, at.to_q.kernel, at.to_q.bias,
+                at.to_out.kernel, at.to_out.bias,
+                self.mlp.fc1.kernel, self.mlp.fc1.bias,
+                self.mlp.fc2.kernel, self.mlp.fc2.bias,
+                self.num_heads, self.dim_head,
+            )
+        )(points, kv) if _space_tile_ok(points.shape[1]) else None
+        if y is not None:
+            return y
         q = fused_ln_dense_int8(points, at.to_q.kernel, at.to_q.bias, ln=True)
         if q is None:
             return None
-        kv = at.to_kv(self.norm_context(virtual))  # (B, T, V, 2C) — tiny
         a = jax.vmap(
             lambda qq, kk: fused_points_from_virtual(
                 qq, kk, self.num_heads, self.dim_head

@@ -101,10 +101,26 @@ class EfficientUpdateFormer(nn.Module):
                 for i in range(self.space_depth)
             ]
 
+        # all-or-nothing kernel gating: if the space rounds can't tile N for
+        # the fused W8A8 blocks, run the time blocks on the XLA path too —
+        # mixing a fused time block with XLA space einsums costs ~70 ms/iter
+        # in layout copies of the token tensor (see models/blocks.py).
+        space_runs = add_space_attn and self.add_space_attn
+        if space_runs and self.quant_int8:
+            from cotracker_tpu.models.blocks import _space_tile_ok
+
+            quant_ok = _space_tile_ok(N)
+        else:
+            quant_ok = True
+
         j = 0
         for i in range(self.time_depth):
-            tokens = time_blocks[i](tokens.reshape(B * N, T, C)).reshape(B, N, T, C)
-            virtual = time_blocks[i](virtual.reshape(B * V, T, C)).reshape(B, V, T, C)
+            tokens = time_blocks[i](
+                tokens.reshape(B * N, T, C), quant_ok=quant_ok
+            ).reshape(B, N, T, C)
+            virtual = time_blocks[i](
+                virtual.reshape(B * V, T, C), quant_ok=quant_ok
+            ).reshape(B, V, T, C)
 
             if (
                 add_space_attn

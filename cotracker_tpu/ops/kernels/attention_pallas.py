@@ -31,6 +31,21 @@ F32 = jnp.float32
 NEG_BIG = -0.7 * jnp.finfo(jnp.float32).max
 
 
+def pick_block_n(N: int, cap: int = 512):
+    """Largest multiple-of-8 divisor of N in [256, cap] (None if none): the
+    N-tile size for the space kernels. Tiles below 256 rows leave the MXU
+    mostly ramping and the per-step overheads dominate — measured: the space
+    block kernels at 64-row tiles cost ~+0.6 s/forward vs 400-row tiles.
+    Callers fall back to the XLA path when this returns None; pad N to a
+    multiple of 512 (the predictor's fast-path bucket) for peak throughput."""
+    if N < 256:
+        return None
+    for b in range(min(cap, N), 255, -8):
+        if N % b == 0:
+            return b
+    return None
+
+
 def _kernel(q_ref, kv_ref, out_ref, *, num_heads, dim_head, out_dtype):
     """q (P, T, H*D); kv (P, T, 2*H*D); out (P, T, H*D)."""
     C = num_heads * dim_head
@@ -139,7 +154,10 @@ def fused_points_from_virtual(q, kv, num_heads: int, dim_head: int,
     N, T, C = q.shape
     V = kv.shape[1]
     assert C == num_heads * dim_head and kv.shape == (T, V, 2 * C)
-    assert N % block_n == 0, (N, block_n)
+    if N % block_n:
+        block_n = pick_block_n(N)
+        if block_n is None:
+            return None
     assert C % 128 == 0
     L = C // 128
     kernel = functools.partial(
@@ -225,8 +243,9 @@ def fused_virtual_from_points(q, kv, num_heads: int, dim_head: int,
     N = kv.shape[0]
     assert C == num_heads * dim_head and kv.shape == (N, T, 2 * C)
     if N % block_n:
-        block_n = 512  # callers gate on N % 512 == 0
-    assert N % block_n == 0, (N, block_n)
+        block_n = pick_block_n(N, cap=1024)
+        if block_n is None:
+            return None
     assert (2 * C) % 128 == 0
     L = 2 * C // 128
     if key_bias is None:
@@ -254,3 +273,121 @@ def fused_virtual_from_points(q, kv, num_heads: int, dim_head: int,
         ],
         interpret=interpret,
     )(q, kv.reshape(N, T, L, 128), key_bias)
+
+
+def _v2p_proj_kernel(q_ref, x_ref, bias_ref, g_ref, be_ref, wkv_ref, skv_ref,
+                     bkv_ref, out_ref, acc, mx, lse, *, num_heads, dim_head,
+                     n_tiles, eps, out_dtype):
+    """_v2p_kernel with the context-norm + to_kv projection fused in: the
+    current N-tile of raw point tokens (blk, 1, C//128, 128) is normalized
+    (affine LN, f32 stats), row-quantized, and projected W8A8 to this tile's
+    keys|values entirely in VMEM — the (N, T, 2C) kv tensor never exists."""
+    n = pl.program_id(1)
+    C = num_heads * dim_head
+    scale = dim_head**-0.5
+    blk = x_ref.shape[0]
+    q = q_ref[0]
+    bias = bias_ref[...].reshape(1, blk)
+
+    x32 = x_ref[:, 0].reshape(blk, C).astype(F32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    cen = x32 - mean
+    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+    h = cen * jax.lax.rsqrt(var + eps) * g_ref[...] + be_ref[...]
+    sr = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-20) * (
+        1.0 / 127.0
+    )
+    hq = jnp.round(h * (1.0 / sr)).astype(jnp.int8)
+    kv = jax.lax.dot(hq, wkv_ref[...], preferred_element_type=jnp.int32)
+    kv = ((kv.astype(F32) * (sr * skv_ref[...]) + bkv_ref[...])).astype(out_dtype)
+
+    @pl.when(n == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        mx[...] = jnp.full_like(mx, NEG_BIG)
+        lse[...] = jnp.zeros_like(lse)
+
+    for h_ in range(num_heads):
+        lo = h_ * dim_head
+        qh = q[:, lo : lo + dim_head]
+        kh = kv[:, lo : lo + dim_head]
+        vh = kv[:, C + lo : C + lo + dim_head]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=F32
+        ) * scale + bias
+        m_prev = mx[h_][:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        lse[h_] = jnp.broadcast_to(
+            lse[h_][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+            lse[h_].shape,
+        )
+        mx[h_] = jnp.broadcast_to(m_new, mx[h_].shape)
+        pv = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32,
+        )
+        acc[h_] = acc[h_] * alpha + pv
+
+    @pl.when(n == n_tiles - 1)
+    def _():
+        outs = [acc[h_] / lse[h_][:, :1] for h_ in range(num_heads)]
+        out_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_dtype)
+
+
+def fused_virtual_from_points_proj(q, x, wkv, bkv, gamma, beta,
+                                   num_heads: int, dim_head: int,
+                                   key_bias=None, eps: float = 1e-5,
+                                   block_n: int = 1024,
+                                   interpret: bool = False):
+    """fused_virtual_from_points with the kv projection fused in.
+
+    q: (T, V, H*D) projected virtual queries; x: (N, T, C) RAW point tokens.
+    Keys|values are computed in-kernel per N-tile as
+    to_kv(affine_layer_norm(x)) with W8A8 matmuls, so the big (N, T, 2C)
+    kv tensor never round-trips HBM. Returns (T, V, C)."""
+    from cotracker_tpu.ops.kernels.mlp_int8_pallas import quantize_weight
+
+    T, V, C = q.shape
+    N = x.shape[0]
+    assert C == num_heads * dim_head and x.shape == (N, T, C)
+    assert C % 128 == 0
+    if N % block_n:
+        block_n = pick_block_n(N, cap=1024)
+        if block_n is None:
+            return None
+    L = C // 128
+    if key_bias is None:
+        key_bias = jnp.zeros((N,), F32)
+    key_bias = key_bias.reshape(N, 1).astype(F32)
+    wkvq, skv = quantize_weight(wkv)
+    n_tiles = N // block_n
+    kernel = functools.partial(
+        _v2p_proj_kernel, num_heads=num_heads, dim_head=dim_head,
+        n_tiles=n_tiles, eps=eps, out_dtype=q.dtype,
+    )
+    row = lambda v, n: v.astype(F32).reshape(1, n)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, V, C), q.dtype),
+        grid=(T, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, V, C), lambda t, n: (t, 0, 0)),
+            pl.BlockSpec((block_n, 1, L, 128), lambda t, n: (n, t, 0, 0)),
+            pl.BlockSpec((block_n, 1), lambda t, n: (n, 0)),
+            pl.BlockSpec((1, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((C, 2 * C), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, 2 * C), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, 2 * C), lambda t, n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, V, C), lambda t, n: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads, V, dim_head), F32),
+            pltpu.VMEM((num_heads, V, 128), F32),
+            pltpu.VMEM((num_heads, V, 128), F32),
+        ],
+        interpret=interpret,
+    )(q, x.reshape(N, T, L, 128), key_bias, row(gamma, C), row(beta, C),
+      wkvq, skv, row(bkv, 2 * C))

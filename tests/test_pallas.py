@@ -291,3 +291,129 @@ class TestInt8Blocks:
             a, x, wo, bo, w1, b1, w2, b2, interpret=True
         )
         self._assert_close(out, ref)
+
+
+class TestWholeBlockKernels:
+    """The single-pass transformer-block kernels vs the f32 XLA block math."""
+
+    def _mk_params(self, rng, C, HID):
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        return dict(
+            wq=mk(C, C) * 0.05, bq=mk(C) * 0.1,
+            wkv=mk(C, 2 * C) * 0.05, bkv=mk(2 * C) * 0.1,
+            wo=mk(C, C) * 0.05, bo=mk(C) * 0.1,
+            w1=mk(C, HID) * 0.05, b1=mk(HID) * 0.1,
+            w2=mk(HID, C) * 0.05, b2=mk(C) * 0.1,
+        )
+
+    def _ln(self, v, eps=1e-6):
+        v = v.astype(jnp.float32)
+        m = jnp.mean(v, -1, keepdims=True)
+        c = v - m
+        return c * jax.lax.rsqrt(jnp.mean(c * c, -1, keepdims=True) + eps)
+
+    def _check(self, out, ref, tol=0.05):
+        out = np.asarray(out, np.float32)
+        ref = np.asarray(ref, np.float32)
+        sc = np.abs(ref).mean()
+        err = np.abs(out - ref) / (np.abs(ref) + 0.1 * sc)
+        assert np.median(err) < tol, np.median(err)
+
+    def test_time_block(self):
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_time_block_int8
+
+        rng = np.random.default_rng(0)
+        Hh, D, HID = 8, 48, 1536
+        C = Hh * D
+        M, T = 32, 6
+        p = self._mk_params(rng, C, HID)
+        x = jnp.asarray(rng.standard_normal((M, T, C)).astype(np.float32))
+
+        h = self._ln(x)
+        q = h @ p["wq"] + p["bq"]
+        k, v = jnp.split(h @ p["wkv"] + p["bkv"], 2, -1)
+        qh = q.reshape(M, T, Hh, D).transpose(0, 2, 1, 3)
+        kh = k.reshape(M, T, Hh, D).transpose(0, 2, 1, 3)
+        vh = v.reshape(M, T, Hh, D).transpose(0, 2, 1, 3)
+        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh,
+                         preferred_element_type=jnp.float32) * D**-0.5
+        a = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(sim, -1), vh)
+        a = a.transpose(0, 2, 1, 3).reshape(M, T, C)
+        r = x + a @ p["wo"] + p["bo"]
+        ref = r + jax.nn.gelu(self._ln(r) @ p["w1"] + p["b1"], approximate=True) @ p["w2"] + p["b2"]
+
+        out = fused_time_block_int8(
+            x, p["wq"], p["bq"], p["wkv"], p["bkv"], p["wo"], p["bo"],
+            p["w1"], p["b1"], p["w2"], p["b2"], Hh, D,
+            track_block=16, interpret=True,
+        )
+        self._check(out, ref)
+
+    def test_space_block(self):
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_space_block_int8
+
+        rng = np.random.default_rng(1)
+        Hh, D, HID = 8, 48, 1536
+        C = Hh * D
+        N, T, V = 1024, 3, 16
+        p = self._mk_params(rng, C, HID)
+        x = jnp.asarray(rng.standard_normal((N, T, C)).astype(np.float32))
+        kv = jnp.asarray(rng.standard_normal((T, V, 2 * C)).astype(np.float32))
+
+        q = (self._ln(x) @ p["wq"] + p["bq"]).reshape(N, T, Hh, D)
+        k, v = jnp.split(kv, 2, -1)
+        kh = k.reshape(T, V, Hh, D)
+        vh = v.reshape(T, V, Hh, D)
+        sim = jnp.einsum("nthd,tvhd->nthv", q, kh,
+                         preferred_element_type=jnp.float32) * D**-0.5
+        a = jnp.einsum("nthv,tvhd->nthd", jax.nn.softmax(sim, -1), vh).reshape(N, T, C)
+        r = x + a @ p["wo"] + p["bo"]
+        ref = r + jax.nn.gelu(self._ln(r) @ p["w1"] + p["b1"], approximate=True) @ p["w2"] + p["b2"]
+
+        out = fused_space_block_int8(
+            x, kv, p["wq"], p["bq"], p["wo"], p["bo"],
+            p["w1"], p["b1"], p["w2"], p["b2"], Hh, D,
+            block_n=512, interpret=True,
+        )
+        self._check(out, ref)
+
+    def test_quant_block_path_in_module(self, monkeypatch):
+        """AttnBlock/CrossAttnBlock quant_int8 paths == their XLA paths
+        (interpret mode forced so the gates engage on CPU)."""
+        import functools
+        from jax.experimental import pallas as pl
+        import cotracker_tpu.ops.kernels.mlp_int8_pallas as mk
+        import cotracker_tpu.ops.kernels.attention_pallas as ak
+        from cotracker_tpu.models.blocks import AttnBlock, CrossAttnBlock
+
+        orig = pl.pallas_call
+        forced = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        monkeypatch.setattr(mk.pl, "pallas_call", forced)
+        monkeypatch.setattr(ak.pl, "pallas_call", forced)
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((16, 6, 384)).astype(np.float32))
+        blk = AttnBlock(quant_int8=False)
+        blkq = AttnBlock(quant_int8=True)
+        p = blk.init(jax.random.PRNGKey(0), x)["params"]
+        ref = blk.apply({"params": p}, x)
+        out = blkq.apply({"params": p}, x)
+        self._check(out, ref)
+
+        points = jnp.asarray(rng.standard_normal((1, 512, 4, 384)).astype(np.float32))
+        virtual = jnp.asarray(rng.standard_normal((1, 4, 16, 384)).astype(np.float32))
+        cb = CrossAttnBlock(quant_int8=False)
+        cbq = CrossAttnBlock(quant_int8=True)
+        pc = cb.init(jax.random.PRNGKey(1), points[:, :, 0], virtual[:, 0],
+                     method=lambda m, a, b: m(a, b))["params"]
+        ref = cb.apply({"params": pc}, points, virtual,
+                       method=CrossAttnBlock.points_from_virtual)
+        out = cbq.apply({"params": pc}, points, virtual,
+                        method=CrossAttnBlock.points_from_virtual)
+        self._check(out, ref)
+
+        refv = cb.apply({"params": pc}, virtual, points,
+                        method=CrossAttnBlock.virtual_from_points)
+        outv = cbq.apply({"params": pc}, virtual, points,
+                         method=CrossAttnBlock.virtual_from_points)
+        self._check(outv, refv)
