@@ -1,0 +1,143 @@
+"""Multi-device sharding equivalence on a virtual 8-device CPU mesh.
+
+SURVEY.md §7.8 gate: 1-chip vs N-chip output equivalence. conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8, so these run anywhere.
+Track sharding splits N across "track"; the only cross-shard information
+path is the virtual-token attention, whose collectives XLA derives from the
+sharding constraints — equality against the unsharded forward checks both
+the math and the mask semantics under sharding.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cotracker_tpu.models.cotracker3 import CoTrackerThree
+from cotracker_tpu.models.build import init_params
+from cotracker_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    sharded_train_step,
+    track_sharded_forward,
+)
+from jax.sharding import PartitionSpec as P
+
+
+def _tiny_model():
+    model = CoTrackerThree(window_len=8, model_resolution=(32, 32))
+    return model, init_params(model)
+
+
+def _data(B=2, T=8, H=32, W=32, N=16, seed=0):
+    rng = np.random.default_rng(seed)
+    video = jnp.asarray(rng.random((B, T, H, W, 3), np.float32) * 255)
+    queries = jnp.asarray(
+        np.stack(
+            [
+                np.zeros((B, N), np.float32),
+                rng.random((B, N)).astype(np.float32) * (W - 1),
+                rng.random((B, N)).astype(np.float32) * (H - 1),
+            ],
+            axis=-1,
+        )
+    )
+    return video, queries
+
+
+class TestTrackShardedForward:
+    @pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+    def test_matches_unsharded(self, shape):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        model, params = _tiny_model()
+        B = shape[0]
+        video, queries = _data(B=B)
+        N = queries.shape[1]
+        # mask out a tail so sharded padding semantics are exercised too
+        mask = jnp.asarray(
+            np.concatenate([np.ones((B, N - 3)), np.zeros((B, 3))], 1).astype(bool)
+        )
+
+        ref_c, ref_v, ref_cf, _ = model.apply(
+            {"params": params}, video, queries, iters=2, track_mask=mask
+        )
+
+        mesh = make_mesh(shape, devices=jax.devices()[:8])
+        fwd = track_sharded_forward(model, mesh, iters=2)
+        pp = replicate(mesh, params)
+        vv = shard_batch(mesh, video, P("data", None, None, None, None))
+        qq = shard_batch(mesh, queries, P("data", "track", None))
+        mm = shard_batch(mesh, mask, P("data", "track"))
+        c, v, cf = fwd(pp, vv, qq, mm)
+
+        m = np.broadcast_to(np.asarray(mask)[:, None, :], np.asarray(v).shape)
+        np.testing.assert_allclose(
+            np.asarray(c)[m], np.asarray(ref_c)[m], rtol=1e-4, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(v)[m], np.asarray(ref_v)[m], rtol=1e-4, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(cf)[m], np.asarray(ref_cf)[m], rtol=1e-4, atol=5e-4
+        )
+
+
+class TestShardedTrainStep:
+    def test_loss_matches_single_device(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from cotracker_tpu.training.train_step import (
+            TrainConfig,
+            make_optimizer,
+            make_train_step,
+        )
+        from jax.sharding import NamedSharding
+
+        model, params = _tiny_model()
+        B, T, N = 2, 8, 16
+        video, _ = _data(B=B)
+        rng = np.random.default_rng(1)
+        batch = {
+            "video": video,
+            "trajs_g": jnp.asarray(rng.random((B, T, N, 2)).astype(np.float32) * 31),
+            "vis_g": jnp.asarray((rng.random((B, T, N)) > 0.3).astype(np.float32))
+            .at[:, 0]
+            .set(1.0),
+            "valids": jnp.asarray(np.ones((B, T, N), np.float32)),
+        }
+        cfg = TrainConfig(iters=2, offline_model=True)
+        tx, _ = make_optimizer(lr=1e-4, num_steps=100)
+        step = make_train_step(model, tx, cfg)
+        opt_state = tx.init(params)
+        key = jax.random.PRNGKey(0)
+
+        p1, o1, m1 = jax.jit(step)(
+            jax.tree.map(jnp.copy, params), opt_state, key, batch
+        )
+
+        mesh = make_mesh((2, 4), devices=jax.devices()[:8])
+        sstep = sharded_train_step(step, mesh)
+        pp = replicate(mesh, jax.tree.map(jnp.copy, params))
+        oo = replicate(mesh, tx.init(params))
+        bb = {
+            "video": shard_batch(mesh, batch["video"], P("data", None, None, None, None)),
+            "trajs_g": shard_batch(mesh, batch["trajs_g"], P("data", None, "track", None)),
+            "vis_g": shard_batch(mesh, batch["vis_g"], P("data", None, "track")),
+            "valids": shard_batch(mesh, batch["valids"], P("data", None, "track")),
+        }
+        p2, o2, m2 = sstep(
+            pp, oo, jax.device_put(key, NamedSharding(mesh, P())), bb
+        )
+
+        np.testing.assert_allclose(
+            float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-4, atol=1e-5
+        )
+        # updated params agree leafwise
+        flat1 = jax.tree_util.tree_leaves(p1)
+        flat2 = jax.tree_util.tree_leaves(p2)
+        worst = max(
+            float(jnp.max(jnp.abs(a - b))) for a, b in zip(flat1, flat2)
+        )
+        assert worst < 5e-4, worst
