@@ -44,7 +44,9 @@ def main():
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
-    N = 10_048 if on_tpu else 64
+    # multiple of 512: the fused space kernels tile N (pick_block_n) and a
+    # degenerate divisor poisons the space rounds (BASELINE.md tiling trap)
+    N = 10_240 if on_tpu else 64
     T = 60 if on_tpu else 8
     H, W = (384, 512) if on_tpu else (96, 128)
     cd = jnp.bfloat16 if on_tpu else jnp.float32
@@ -54,7 +56,7 @@ def main():
     model = CoTrackerThree(
         window_len=60, model_resolution=(H, W), dtype=cd, corr_chunk=CH,
         use_pallas_corr=on_tpu, use_pallas_attn=on_tpu,
-        corr_quant_int8=on_tpu,
+        corr_quant_int8=on_tpu, attn_quant_int8=on_tpu,
     )
     params = init_params(model)
 
@@ -125,8 +127,8 @@ def main():
     print(f"corr all levels x {iters} iters: {sum(t_corr.values())*iters*1e3:8.1f} ms")
 
     # ---- updateformer one iteration
-    uf = EfficientUpdateFormer(dtype=cd, use_pallas_attn=on_tpu)
-    x = jnp.asarray(rng.standard_normal((1, N + 16, T, 1110)).astype(np.float32)).astype(cd)
+    uf = EfficientUpdateFormer(dtype=cd, use_pallas_attn=on_tpu, quant_int8=on_tpu)
+    x = jnp.asarray(rng.standard_normal((1, N, T, 1110)).astype(np.float32)).astype(cd)
     ufp = jax.jit(uf.init)(jax.random.PRNGKey(0), x[:, :8, :, :])["params"]
     uf_fn = jax.jit(lambda xx: uf.apply({"params": ufp}, xx)[0, -1, -1, 0])
     t_uf = timeit(uf_fn, x)

@@ -243,7 +243,7 @@ def sec_updateformer(rng):
 
     cd = jnp.bfloat16
     N, T = 10_240, 60
-    uf = EfficientUpdateFormer(dtype=cd, use_pallas_attn=True)
+    uf = EfficientUpdateFormer(dtype=cd, use_pallas_attn=True, quant_int8=True)
     x = jnp.asarray(rng.standard_normal((1, N, T, 1110)).astype(np.float32)).astype(cd)
     p = jax.jit(uf.init)(jax.random.PRNGKey(0), x[:, :8])["params"]
 
