@@ -139,12 +139,19 @@ class EfficientUpdateFormer(nn.Module):
                 )
                 virtual = vt.transpose(0, 2, 1, 3)
                 j += 1
-        flow = nn.Dense(
-            self.output_dim - 2 if self.linear_layer_for_vis_conf else self.output_dim,
-            dtype=self.dtype,
-            name="flow_head",
-        )(tokens)
-        if self.linear_layer_for_vis_conf:
-            vis_conf = nn.Dense(2, dtype=self.dtype, name="vis_conf_head")(tokens)
-            flow = jnp.concatenate([flow, vis_conf], axis=-1)
-        return flow
+        if not self.linear_layer_for_vis_conf:
+            return nn.Dense(self.output_dim, dtype=self.dtype, name="flow_head")(tokens)
+        # flow and vis/conf heads computed as ONE matmul over the weights
+        # concatenated in-jit: two Dense calls would each stream the full
+        # (B, N, T, C) token tensor from HBM; the math (and the param tree:
+        # separate flow_head / vis_conf_head entries) is unchanged.
+        from cotracker_tpu.models.blocks import Dense
+
+        fh = Dense(self.output_dim - 2, self.hidden_size, dtype=self.dtype, name="flow_head")
+        vh = Dense(2, self.hidden_size, dtype=self.dtype, name="vis_conf_head")
+        w = jnp.concatenate([fh.kernel, vh.kernel], axis=1)
+        b = jnp.concatenate([fh.bias, vh.bias])
+        from flax.linen.dtypes import promote_dtype
+
+        x_, w, b = promote_dtype(tokens, w, b, dtype=self.dtype)
+        return jnp.einsum("bntc,co->bnto", x_, w) + b
