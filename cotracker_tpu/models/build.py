@@ -29,6 +29,12 @@ def build_cotracker(
     XLA path at bf16/quantization noise level.
     Returns (model_def, params).
     """
+    if fast and jax.devices()[0].platform == "cpu":
+        raise ValueError(
+            "fast=True enables the Pallas TPU kernels, which cannot run on "
+            "the CPU backend (they would fail deep inside compilation). "
+            "Use fast=False for CPU, or run on a TPU."
+        )
     if v2:
         from cotracker_tpu.models.cotracker2 import CoTracker2
 

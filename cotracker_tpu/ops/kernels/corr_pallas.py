@@ -88,17 +88,37 @@ def build_shifted_fmaps(fmaps, radius: int, compute_dtype=jnp.bfloat16, quant_in
     return out.reshape(shifts * B * T, H + 2 * pad, width, C)
 
 
-def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, *rest,
-            Tp, WIN, C, S, out_dtype, shifts, compute_dtype, g_int8):
+def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
+            Tp, WIN, C, S, out_dtype, shifts, compute_dtype, g_int8,
+            fuse_combine):
     """starts_* (1, Tp, 3) int32 SMEM: (flat frame index, wsy, wsx) per frame.
     sup (1, S, C) VMEM. fm_hbm (B*T, Hp, Wp, C) stays in HBM (bf16 or int8).
-    win scratch (2, WIN, Tp*WIN, C); sems (2, Tp) DMA semaphores. With g_int8,
-    an extra (1, NP) f32 SMEM output (whole-array block, scalar store at
-    [0, p]) carries the per-point dequant scales."""
-    if g_int8:
-        scale_ref, win, sems = rest
+    win scratch (2, WIN, Tp*WIN, C) — or (2, Tp*WIN, WIN, C) t-major with
+    fuse_combine; sems (2, Tp) DMA semaphores. With g_int8, an extra (1, NP)
+    f32 SMEM output (whole-array block, scalar store at [0, p]) carries the
+    per-point dequant scales.
+
+    fuse_combine: one extra (1, Tp, 2) f32 SMEM operand follows fm_hbm —
+    the per-frame bilinear fractions (wx[t], wy[t]) — and the kernel emits
+    the COMBINED exact correlation volume: lanes ordered (t, y, x), so the
+    x+1 / y+1 / both taps are lane rolls by 1 / 8 / 9 (sub-vreg shifts).
+    The scalar fractions are broadcast into a (2, R) VMEM scratch (wv) with
+    64-lane stores — no O(N*R) weight traffic. Positions x==7 or y==7 hold
+    roll wrap garbage; the epilogue slices them away (it keeps j,i < 7)."""
+    if fuse_combine:
+        fm_hbm, wxy_ref = rest[:2]
+        rest = rest[2:]
+        if g_int8:
+            out_ref, scale_ref, win, sems, wv = rest
+        else:
+            out_ref, win, sems, wv = rest
     else:
-        win, sems = rest
+        fm_hbm = rest[0]
+        rest = rest[1:]
+        if g_int8:
+            out_ref, scale_ref, win, sems = rest
+        else:
+            out_ref, win, sems = rest
     p = pl.program_id(0)
     n_pts = pl.num_programs(0)
 
@@ -109,9 +129,13 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, *rest,
         # 32 for int8) via the shifted-copy trick; Mosaic still needs the
         # divisibility hint
         sx = pl.multiple_of(st_ref[0, t, 2], shifts)
+        dest = (
+            win.at[slot, pl.ds(t * WIN, WIN), :, :]
+            if fuse_combine
+            else win.at[slot, :, pl.ds(t * WIN, WIN), :]
+        )
         return pltpu.make_async_copy(
-            fm_hbm.at[ft, pl.ds(sy, WIN), pl.ds(sx, WIN), :],
-            win.at[slot, :, pl.ds(t * WIN, WIN), :],
+            fm_hbm.at[ft, pl.ds(sy, WIN), pl.ds(sx, WIN), :], dest,
             sems.at[slot, t],
         )
 
@@ -139,8 +163,11 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, *rest,
     for t in range(Tp):
         dma(slot, t, starts_cur_ref).wait()
 
-    wv = win[slot]  # (WIN, Tp*WIN, C)
-    win2 = wv.reshape(WIN * Tp * WIN, C)  # rows r = a*(Tp*WIN) + t*WIN + b
+    # flatten the window slab; both layouts merge an outer dim with a full
+    # 8-sublane tile, which is a free shape cast:
+    #   plain:        (WIN, Tp*WIN, C) -> rows r = y*(Tp*WIN) + t*WIN + x
+    #   fuse_combine: (Tp*WIN, WIN, C) -> rows r = t*WIN*WIN + y*WIN + x
+    win2 = win[slot].reshape(WIN * Tp * WIN, C)
     # transposed contraction: the long window axis lands on LANES of the
     # output, so the (NP, S, R) result tiles without padding — the natural
     # (R, S) orientation pads S=49 lanes to 128 and writes 2.6x the bytes.
@@ -152,6 +179,40 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, fm_hbm, out_ref, *rest,
         sup_ref[0], win2, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32 if g_int8 else F32,
     )  # (S, WIN*Tp*WIN)
+    if fuse_combine:
+        # exact bilinear combine, lanes (t, y, x): the value at lane r
+        # combines taps r, r+1 (x+1), r+8 (y+1) and r+9 — one (wx, wy) per
+        # frame thanks to the shared-fraction identity (module docstring).
+        # The combine is linear in g, so the quant path's dequant scales
+        # stay exactly where they are today (per-point output scale below,
+        # support scale folded by the wrapper epilogue).
+        g = g.astype(F32)
+        # lane-broadcast the per-frame scalar fractions: wv rows [wx; wy],
+        # 64 lanes per frame
+        for t in range(Tp):
+            wv[0:1, pl.ds(t * WIN * WIN, WIN * WIN)] = jnp.full(
+                (1, WIN * WIN), wxy_ref[0, t, 0], F32
+            )
+            wv[1:2, pl.ds(t * WIN * WIN, WIN * WIN)] = jnp.full(
+                (1, WIN * WIN), wxy_ref[0, t, 1], F32
+            )
+        wx = wv[0:1, :]
+        wy = wv[1:2, :]
+        R_ = g.shape[1]
+        # pltpu.roll wants non-negative shifts; roll by R-k == roll by -k
+        g01 = pltpu.roll(g, R_ - 1, 1)
+        g10 = pltpu.roll(g, R_ - WIN, 1)
+        g11 = pltpu.roll(g, R_ - (WIN + 1), 1)
+        gx = g + wx * (g01 - g)  # = (1-wx)*g + wx*g01
+        gx1 = g10 + wx * (g11 - g10)
+        c = gx + wy * (gx1 - gx)
+        if g_int8:
+            scale = jnp.maximum(jnp.max(jnp.abs(c)), 1e-20) * (1.0 / 127.0)
+            scale_ref[0, p] = scale
+            out_ref[0] = jnp.round(c * (1.0 / scale)).astype(jnp.int8)
+        else:
+            out_ref[0] = c.astype(out_dtype)
+        return
     if g_int8:
         g = g.astype(F32)
         # per-point dynamic quantization of the correlation volume: halves
@@ -180,6 +241,7 @@ def fused_corr_embs_pallas(
     prepacked: bool = False,
     track_major: bool = False,
     quant_int8: bool = False,
+    fuse_combine: bool = False,
 ):
     """Same contract as ops.corr.fused_corr_embs, hot path as a Pallas kernel.
 
@@ -254,6 +316,7 @@ def fused_corr_embs_pallas(
     kernel = functools.partial(
         _kernel, Tp=Tp, WIN=WIN, C=C, S=S, out_dtype=cd,
         shifts=shifts, compute_dtype=cd, g_int8=quant_int8,
+        fuse_combine=fuse_combine,
     )
 
     def run(starts_c, sup_c, wx_c, wy_c, sup_scale_c=None):
@@ -275,37 +338,79 @@ def fused_corr_embs_pallas(
             out_specs = pl.BlockSpec(
                 (1, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
             )
-        g = pl.pallas_call(
-            kernel,
-            out_shape=out_shape,
-            grid=(NP,),
-            in_specs=[
-                pl.BlockSpec((1, Tp, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (1, Tp, 3),
-                    lambda p: (jnp.minimum(p + 1, NP - 1), 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec((1, S, C), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),  # fmaps stay in HBM
-            ],
-            out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((2, WIN, Tp * WIN, C), jnp.int8 if quant_int8 else cd),
-                pltpu.SemaphoreType.DMA((2, Tp)),
-            ],
-            interpret=interpret,
-        )(
+        in_specs = [
+            pl.BlockSpec((1, Tp, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, Tp, 3),
+                lambda p: (jnp.minimum(p + 1, NP - 1), 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, S, C), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # fmaps stay in HBM
+        ]
+        operands = [
             starts_c.reshape(NP, Tp, 3),
             starts_c.reshape(NP, Tp, 3),
             sup_c.reshape(NP, S, C),
             fmh,
+        ]
+        if fuse_combine:
+            # per-frame bilinear fractions, tiny SMEM payload; the kernel
+            # lane-broadcasts them into a VMEM scratch
+            wxy = jnp.stack(
+                [
+                    jnp.pad(wx_c, ((0, 0), (0, 0), (0, Tp - T))),
+                    jnp.pad(wy_c, ((0, 0), (0, 0), (0, Tp - T))),
+                ],
+                axis=-1,
+            ).reshape(NP, Tp, 2).astype(jnp.float32)
+            operands.append(wxy)
+            in_specs.append(
+                pl.BlockSpec((1, Tp, 2), lambda p: (p, 0, 0), memory_space=pltpu.SMEM)
+            )
+        win_shape = (
+            (2, Tp * WIN, WIN, C) if fuse_combine else (2, WIN, Tp * WIN, C)
         )
+        scratch = [
+            pltpu.VMEM(win_shape, jnp.int8 if quant_int8 else cd),
+            pltpu.SemaphoreType.DMA((2, Tp)),
+        ]
+        if fuse_combine:
+            scratch.append(pltpu.VMEM((2, R), jnp.float32))
+        g = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(NP,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*operands)
         gscale = None
         if quant_int8:
             g, gscale = g
             gscale = gscale.reshape(B, n)  # (1, NP) row-major == (B, n)
             gscale = gscale * sup_scale_c
+
+        lhs = "bntk" if track_major else "btnk"
+        out_sub = "bnto" if track_major else "btno"
+        if fuse_combine:
+            # kernel already emitted the exact combined volume; lanes
+            # r = t*64 + y*8 + x with garbage at x==7 / y==7 (roll wrap)
+            # and t >= T (frame padding), all sliced away here.
+            c = g.reshape(B, n, S, Tp, WIN, WIN)[:, :, :, :T, :P, :P]
+            h = jnp.einsum(
+                f"bnstji,ijsk->{lhs}", c, w1r, preferred_element_type=F32
+            )
+            if gscale is not None:
+                sc = gscale[:, :, None, None] if track_major else gscale[:, None, :, None]
+                h = h * sc
+            h = h.astype(cd) + b1.astype(cd)
+            h = jax.nn.gelu(h, approximate=False)
+            return jnp.einsum(
+                f"{lhs},ko->{out_sub}", h, w2.astype(cd),
+                preferred_element_type=F32,
+            ).astype(cd) + b2.astype(cd)
 
         # XLA epilogue: bilinear combine (4 weighted slice-adds) + corr MLP.
         # g lanes index r = a*(Tp*WIN) + t*WIN + b with a=y, b=x.
@@ -330,8 +435,6 @@ def fused_corr_embs_pallas(
             + wyb * oxb * c0
             + wyb * wxb * c1
         )  # (B, n, S, j(y), T, i(x))
-        lhs = "bntk" if track_major else "btnk"
-        out_sub = "bnto" if track_major else "btno"
         h = jnp.einsum(
             f"bnsjti,ijsk->{lhs}", corr, w1r, preferred_element_type=F32
         ).astype(cd) + b1.astype(cd)

@@ -417,3 +417,46 @@ class TestWholeBlockKernels:
         outv = cbq.apply({"params": pc}, virtual, points,
                          method=CrossAttnBlock.virtual_from_points)
         self._check(outv, refv)
+
+
+class TestFuseCombine:
+    """fuse_combine=True emits the combined exact correlation volume from the
+    kernel (lanes (t, y, x), in-kernel rolls) instead of raw window taps.
+    Measured a WASH on the round-1 chip (in-kernel VPU combine ~= the fused
+    epilogue read it replaces) — kept flag-off, verified for future chips."""
+
+    def test_matches_plain_paths(self):
+        from cotracker_tpu.ops.corr import fused_corr_embs
+        from cotracker_tpu.ops.kernels.corr_pallas import fused_corr_embs_pallas
+
+        rng = np.random.default_rng(7)
+        B, T, H, W, C, N = 1, 3, 16, 24, 128, 5
+        fm = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+        fm = fm / jnp.linalg.norm(fm, axis=-1, keepdims=True)
+        sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+        sup = sup / jnp.linalg.norm(sup, axis=-1, keepdims=True)
+        coords = jnp.asarray(
+            (rng.random((B, T, N, 2)) * np.array([W + 6, H + 6]) - 3).astype(np.float32)
+        )
+        w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+        b1 = jnp.asarray(rng.standard_normal(384).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal(256).astype(np.float32) * 0.1)
+
+        ref = fused_corr_embs(fm, sup, coords, w1, b1, w2, b2, radius=3,
+                              compute_dtype=jnp.float32)
+        out = fused_corr_embs_pallas(
+            fm, sup, coords, w1, b1, w2, b2, radius=3,
+            compute_dtype=jnp.float32, interpret=True, fuse_combine=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+        outq = fused_corr_embs_pallas(
+            fm, sup, coords, w1, b1, w2, b2, radius=3,
+            compute_dtype=jnp.float32, interpret=True, quant_int8=True,
+            fuse_combine=True, chunk=3, track_major=True,
+        )
+        e = np.abs(np.asarray(outq).transpose(0, 2, 1, 3) - np.asarray(ref)) / (
+            np.abs(np.asarray(ref)) + 1e-2
+        )
+        assert np.median(e) < 0.05, np.median(e)
