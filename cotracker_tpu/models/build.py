@@ -24,9 +24,12 @@ def build_cotracker(
     models/checkpoint.py) or None for fresh random init.
     fast: enable the TPU inference hot path — bf16 compute (f32 params and
     coords/vis/conf carries), the Pallas correlation and time-attention
-    kernels, int8 window transfer, and N-chunking. Inference-only (the
-    Pallas kernels have no gradient rules); numerics differ from the f32
-    XLA path at bf16/quantization noise level.
+    kernels, int8 window transfer, and N-chunking. Inference-only as built
+    here (the attention kernels have no gradient rules); numerics differ
+    from the f32 XLA path at bf16/quantization noise level. For training
+    with the fast corr kernel, construct CoTrackerThree directly with
+    use_pallas_corr + corr_pallas_grad + remat_iterations (see
+    training/trainer.py TrainerArgs.use_pallas_corr).
     Returns (model_def, params).
     """
     if fast and jax.devices()[0].platform == "cpu":

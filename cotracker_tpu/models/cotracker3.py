@@ -101,6 +101,7 @@ class CorrFeaturizer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     quant_int8: bool = False  # int8 window transfer (see corr_pallas)
+    interpret: bool = False  # Pallas interpret mode (CPU tests)
 
     @nn.compact
     def __call__(self, fmaps, support, coords):
@@ -111,15 +112,29 @@ class CorrFeaturizer(nn.Module):
         w2 = self.param("fc2_kernel", nn.initializers.xavier_uniform(), (self.hidden, self.out))
         b2 = self.param("fc2_bias", nn.initializers.zeros_init(), (self.out,))
         if self.use_pallas:
+            # fmaps arrive prepacked (8 x-shifted padded copies) — built once
+            # per forward in CoTrackerThree.iterate, outside the update scan.
+            # A (packed, raw) pair selects the differentiable wrapper (Pallas
+            # forward, XLA-vjp backward) so training can run the fast kernel.
+            if isinstance(fmaps, (tuple, list)):
+                from cotracker_tpu.ops.kernels.corr_pallas import (
+                    fused_corr_embs_pallas_trainable,
+                )
+
+                packed, raw = fmaps
+                return fused_corr_embs_pallas_trainable(
+                    packed, raw, support, coords, w1, b1, w2, b2,
+                    radius=self.radius, chunk=self.chunk,
+                    compute_dtype=self.dtype, track_major=True,
+                    quant_int8=self.quant_int8, interpret=self.interpret,
+                )
             from cotracker_tpu.ops.kernels.corr_pallas import fused_corr_embs_pallas
 
-            # fmaps arrive prepacked (8 x-shifted padded copies) — built once
-            # per forward in CoTrackerThree.iterate, outside the update scan
             return fused_corr_embs_pallas(
                 fmaps, support, coords, w1, b1, w2, b2,
                 radius=self.radius, chunk=self.chunk, compute_dtype=self.dtype,
                 prepacked=(fmaps.ndim == 4), track_major=True,
-                quant_int8=self.quant_int8,
+                quant_int8=self.quant_int8, interpret=self.interpret,
             )
         return fused_corr_embs(
             fmaps, support, coords, w1, b1, w2, b2,
@@ -152,6 +167,7 @@ class IterationCore(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_corr: bool = False
     corr_quant_int8: bool = False
+    corr_pallas_interpret: bool = False
     use_pallas_attn: bool = False
     attn_quant_int8: bool = False
 
@@ -159,6 +175,7 @@ class IterationCore(nn.Module):
         self.corr_mlp = CorrFeaturizer(
             radius=self.corr_radius, chunk=self.corr_chunk, dtype=self.dtype,
             use_pallas=self.use_pallas_corr, quant_int8=self.corr_quant_int8,
+            interpret=self.corr_pallas_interpret,
             name="corr_mlp"
         )
         self.updateformer = EfficientUpdateFormer(
@@ -270,13 +287,29 @@ class CoTrackerThree(nn.Module):
     # run the updateformer block bodies (qkv/out projections + MLPs) as
     # fused W8A8 Pallas kernels (see ops/kernels/mlp_int8_pallas.py)
     attn_quant_int8: bool = False
+    # make the Pallas corr featurizer differentiable (Pallas forward, XLA-vjp
+    # backward — see corr_pallas.fused_corr_embs_pallas_trainable): training
+    # configs set this together with use_pallas_corr. Off by default so the
+    # tuned inference path is untouched.
+    corr_pallas_grad: bool = False
+    # run Pallas kernels in interpret mode (CPU-backend tests only)
+    corr_pallas_interpret: bool = False
+    # rematerialize each update iteration in the backward pass
+    # (jax.checkpoint over the scanned body) — required to train at real
+    # shapes: the per-iteration correlation/attention intermediates otherwise
+    # dominate activation memory (reference trains bf16 without remat only
+    # because torch frees per-iteration graphs lazily).
+    remat_iterations: bool = False
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride, dtype=self.dtype)
         # the per-iteration core is lifted with nn.scan: params broadcast
         # across iterations, one compiled iteration body regardless of iters
+        core = IterationCore
+        if self.remat_iterations:
+            core = nn.remat(core, prevent_cse=False)
         self.iter_core = nn.scan(
-            IterationCore,
+            core,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
@@ -295,6 +328,7 @@ class CoTrackerThree(nn.Module):
             dtype=self.dtype,
             use_pallas_corr=self.use_pallas_corr,
             corr_quant_int8=self.corr_quant_int8,
+            corr_pallas_interpret=self.corr_pallas_interpret,
             use_pallas_attn=self.use_pallas_attn,
             attn_quant_int8=self.attn_quant_int8,
             name="iter_core",
@@ -370,16 +404,23 @@ class CoTrackerThree(nn.Module):
         T = fmaps_pyramid[0].shape[1]
         time_emb = self.interpolate_time_embed(T)
         if self.use_pallas_corr:
-            # hoist the kernel's padded x-shifted copies out of the scan body
+            # hoist the kernel's padded x-shifted copies out of the scan body;
+            # with corr_pallas_grad each level becomes a (packed, raw) pair —
+            # the raw map is the gradient channel of the differentiable
+            # kernel wrapper (forward-only traces DCE it)
             from cotracker_tpu.ops.kernels.corr_pallas import build_shifted_fmaps
 
-            fmaps_pyramid = [
+            packed = [
                 build_shifted_fmaps(
                     f, self.corr_radius, self.dtype,
                     quant_int8=self.corr_quant_int8,
                 )
                 for f in fmaps_pyramid
             ]
+            if self.corr_pallas_grad:
+                fmaps_pyramid = [(p, f) for p, f in zip(packed, fmaps_pyramid)]
+            else:
+                fmaps_pyramid = packed
         _, ys = self.iter_core(
             (coords, vis, conf),
             jnp.zeros((iters,), jnp.int32),  # drives scan length

@@ -467,3 +467,83 @@ def fused_corr_embs_pallas(
         return out[:, :N]
     out = out.transpose(1, 2, 0, 3, 4).reshape(B, T, K * chunk, -1)
     return out[:, :, :N]
+
+
+@functools.lru_cache(maxsize=None)
+def _trainable_corr(radius, chunk, compute_dtype, track_major, quant_int8,
+                    interpret, packed_shape, packed_dtype):
+    """custom_vjp closure for fused_corr_embs_pallas_trainable, cached so the
+    primitive identity is stable across traces (jit cache friendliness)."""
+    from cotracker_tpu.ops.corr import fused_corr_embs
+
+    @jax.custom_vjp
+    def f(packed, fmaps, support, coords, w1, b1, w2, b2):
+        del fmaps  # gradient channel only; forward reads the prepacked copies
+        return fused_corr_embs_pallas(
+            packed, support, coords, w1, b1, w2, b2, radius=radius,
+            chunk=chunk, compute_dtype=compute_dtype, interpret=interpret,
+            prepacked=True, track_major=track_major, quant_int8=quant_int8,
+        )
+
+    def fwd(packed, fmaps, support, coords, w1, b1, w2, b2):
+        out = f(packed, fmaps, support, coords, w1, b1, w2, b2)
+        return out, (fmaps, support, coords, w1, b1, w2, b2)
+
+    def bwd(res, ct):
+        fmaps, support, coords, w1, b1, w2, b2 = res
+        _, vjp = jax.vjp(
+            lambda fm, sp, co, a1, a2, a3, a4: fused_corr_embs(
+                fm, sp, co, a1, a2, a3, a4, radius=radius, chunk=chunk,
+                compute_dtype=compute_dtype, track_major=track_major,
+            ),
+            fmaps, support, coords, w1, b1, w2, b2,
+        )
+        grads = vjp(ct)
+        # the prepacked operand is forward-only: its gradient channel is the
+        # raw fmaps operand (a broadcast-zero cotangent XLA folds away)
+        return (jnp.zeros(packed_shape, packed_dtype),) + grads
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_corr_embs_pallas_trainable(
+    packed,
+    fmaps,
+    support,
+    coords,
+    w1,
+    b1,
+    w2,
+    b2,
+    radius: int = 3,
+    chunk=None,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    track_major: bool = False,
+    quant_int8: bool = False,
+):
+    """Differentiable fused_corr_embs_pallas: Pallas kernel forward, XLA
+    backward.
+
+    `packed` is build_shifted_fmaps(fmaps, radius) — kept a separate operand
+    so callers can hoist the prepack out of the update-iteration scan;
+    `fmaps` is the corresponding RAW (B, T, H, W, C) map, used only as the
+    gradient channel. The backward pass is the exact jax.vjp of the XLA
+    formulation (ops/corr.py fused_corr_embs) evaluated at the same primals:
+    under jax.checkpoint/remat training this is the recompute that would run
+    anyway, minus the 2.5x-slower XLA forward. With quant_int8 the forward is
+    quantized while the backward stays full-precision — a straight-through
+    estimator (the quantization error is ~1/254 of the per-point volume max,
+    see build_shifted_fmaps).
+
+    Gradients flow to fmaps (the encoder), support (via feature sampling) and
+    the MLP params; coords gradients exist but the model detaches coords at
+    each iteration top (reference cotracker3_online.py:188), matching the
+    reference's training signal.
+    """
+    fn = _trainable_corr(
+        radius, chunk, compute_dtype, track_major, quant_int8, interpret,
+        tuple(packed.shape), jnp.dtype(packed.dtype).name,
+    )
+    return fn(packed, fmaps, support, coords, w1, b1, w2, b2)

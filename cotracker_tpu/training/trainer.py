@@ -50,6 +50,14 @@ class TrainerArgs:
     train_only_on_visible: bool = False
     query_sampling_method: str = "first_visible"
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, track)
+    # run the correlation featurizer as the Pallas TPU kernel with its
+    # XLA-vjp backward (corr_pallas.fused_corr_embs_pallas_trainable) and
+    # remat each update iteration — the fast-forward training config.
+    # Requires a TPU backend (kernels don't run on CPU).
+    use_pallas_corr: bool = False
+    # rematerialize update iterations even on the XLA path (activation
+    # memory for real shapes; implied by use_pallas_corr)
+    remat_iterations: bool = False
 
 
 class Logger:
@@ -163,6 +171,9 @@ def train(args: TrainerArgs, dataset=None, model=None):
         model = CoTrackerThree(
             window_len=args.model_window_len,
             model_resolution=args.crop_size,
+            use_pallas_corr=args.use_pallas_corr,
+            corr_pallas_grad=args.use_pallas_corr,
+            remat_iterations=args.remat_iterations or args.use_pallas_corr,
         )
     params = init_params(model, seed=args.seed)
 

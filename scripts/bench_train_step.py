@@ -1,0 +1,86 @@
+"""Training-step timing: XLA corr vs Pallas corr forward (custom_vjp).
+
+Measures one supervised train step at the reference training shape
+(train_on_kubric defaults: batch 1, seq_len 24 -> window 16 online / offline
+60-crop here shortened to T=16, 384x512, 768 tracks, 4 iterations) on the
+real TPU. Run: python scripts/bench_train_step.py [--T 16] [--N 768]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(use_pallas: bool, T: int, remat: bool):
+    from cotracker_tpu.models.cotracker3 import CoTrackerThree
+    from cotracker_tpu.models.build import init_params
+
+    model = CoTrackerThree(
+        window_len=T,
+        model_resolution=(384, 512),
+        dtype=jnp.bfloat16 if use_pallas else jnp.float32,
+        corr_chunk=None,
+        use_pallas_corr=use_pallas,
+        corr_pallas_grad=use_pallas,
+        corr_quant_int8=use_pallas,
+        remat_iterations=remat,
+    )
+    params = init_params(model)
+    return model, params
+
+
+def time_step(model, params, T, N, iters, steps=3):
+    from cotracker_tpu.training.train_step import TrainConfig, make_optimizer, make_train_step
+
+    cfg = TrainConfig(iters=iters)
+    tx, _ = make_optimizer(num_steps=100)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0, 1))
+
+    rng = np.random.default_rng(0)
+    B, H, W = 1, 384, 512
+    batch = {
+        "video": jnp.asarray(rng.random((B, T, H, W, 3), np.float32) * 255),
+        "trajs_g": jnp.asarray(rng.random((B, T, N, 2), np.float32) * np.array([W - 1, H - 1], np.float32)),
+        "vis_g": jnp.ones((B, T, N), jnp.float32),
+        "valids": jnp.ones((B, T, N), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    params, opt_state, aux = step(params, opt_state, key, batch)
+    jax.block_until_ready(aux["total_loss"])
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, aux = step(params, opt_state, sub, batch)
+    jax.block_until_ready(aux["total_loss"])
+    return compile_s, (time.time() - t0) / steps, float(aux["total_loss"])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--T", type=int, default=16)
+    p.add_argument("--N", type=int, default=768)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--skip_xla", action="store_true")
+    args = p.parse_args()
+
+    if not args.skip_xla:
+        model, params = build(False, args.T, remat=True)
+        c, s, loss = time_step(model, params, args.T, args.N, args.iters)
+        print(f"xla+remat    : {s * 1e3:8.1f} ms/step  (compile {c:.0f}s, loss {loss:.3f})")
+        del model, params
+
+    model, params = build(True, args.T, remat=True)
+    c, s, loss = time_step(model, params, args.T, args.N, args.iters)
+    print(f"pallas+remat : {s * 1e3:8.1f} ms/step  (compile {c:.0f}s, loss {loss:.3f})")
+
+
+if __name__ == "__main__":
+    main()

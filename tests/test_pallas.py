@@ -460,3 +460,79 @@ class TestFuseCombine:
             np.abs(np.asarray(ref)) + 1e-2
         )
         assert np.median(e) < 0.05, np.median(e)
+
+
+class TestPallasCorrGrad:
+    def test_trainable_grads_match_xla_vjp(self):
+        """fused_corr_embs_pallas_trainable: Pallas forward (value parity
+        covered above), backward == the XLA formulation's jax.vjp exactly
+        (it IS that vjp, evaluated at the same primals)."""
+        from cotracker_tpu.ops.kernels.corr_pallas import (
+            build_shifted_fmaps,
+            fused_corr_embs_pallas_trainable,
+        )
+
+        rng = np.random.default_rng(7)
+        B, T, H, W, C, N = 1, 4, 16, 24, 128, 5
+        fm = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+        sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+        coords = jnp.asarray(
+            (rng.random((B, T, N, 2)) * np.array([W + 6, H + 6]) - 3).astype(np.float32)
+        )
+        w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+        b1 = jnp.asarray(rng.standard_normal(384).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal(256).astype(np.float32) * 0.1)
+        ct_w = jnp.asarray(rng.standard_normal((B, T, N, 256)).astype(np.float32))
+
+        def loss_pallas(fm_, sup_, co_, w1_, b2_):
+            packed = build_shifted_fmaps(fm_, 3, jnp.float32)
+            out = fused_corr_embs_pallas_trainable(
+                packed, fm_, sup_, co_, w1_, b1, w2, b2_,
+                radius=3, compute_dtype=jnp.float32, interpret=True,
+            )
+            return jnp.sum(out * ct_w)
+
+        def loss_xla(fm_, sup_, co_, w1_, b2_):
+            out = fused_corr_embs(
+                fm_, sup_, co_, w1_, b1, w2, b2_,
+                radius=3, compute_dtype=jnp.float32,
+            )
+            return jnp.sum(out * ct_w)
+
+        args = (fm, sup, coords, w1, b2)
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(*args)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b, name in zip(gp, gx, ["fmaps", "support", "coords", "w1", "b2"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+            )
+
+    def test_trainable_value_matches_kernel(self):
+        """Forward value of the trainable wrapper == the raw kernel call."""
+        from cotracker_tpu.ops.kernels.corr_pallas import (
+            build_shifted_fmaps,
+            fused_corr_embs_pallas_trainable,
+        )
+
+        rng = np.random.default_rng(8)
+        B, T, H, W, C, N = 1, 3, 16, 24, 128, 4
+        fm = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+        sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+        coords = jnp.asarray(
+            (rng.random((B, T, N, 2)) * np.array([W, H])).astype(np.float32)
+        )
+        w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+        b1 = jnp.zeros(384)
+        w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.05)
+        b2 = jnp.zeros(256)
+        packed = build_shifted_fmaps(fm, 3, jnp.float32)
+        ref = fused_corr_embs_pallas(
+            fm, sup, coords, w1, b1, w2, b2, radius=3,
+            compute_dtype=jnp.float32, interpret=True, track_major=True,
+        )
+        out = fused_corr_embs_pallas_trainable(
+            packed, fm, sup, coords, w1, b1, w2, b2, radius=3,
+            compute_dtype=jnp.float32, interpret=True, track_major=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)

@@ -142,3 +142,59 @@ class TestTrainStepSmoke:
             losses.append(float(aux["total_loss"]))
         assert np.isfinite(losses).all()
         assert min(losses) < losses[0], losses
+
+
+class TestPallasTraining:
+    def test_pallas_corr_grads_match_xla_model(self):
+        """A model running the Pallas corr kernel (interpret mode) with
+        corr_pallas_grad + remat_iterations produces the same training
+        gradients as the plain XLA model — same param tree, same loss."""
+        from cotracker_tpu.models.cotracker3 import CoTrackerThree
+        from cotracker_tpu.models.build import init_params
+        from cotracker_tpu.training.train_step import (
+            TrainConfig,
+            sample_queries_from_gt,
+            tracker_loss_fn,
+        )
+
+        plain = CoTrackerThree(window_len=8, model_resolution=(32, 32))
+        fast = CoTrackerThree(
+            window_len=8, model_resolution=(32, 32),
+            use_pallas_corr=True, corr_pallas_grad=True,
+            corr_pallas_interpret=True, remat_iterations=True,
+        )
+        params = init_params(plain)
+
+        rng = np.random.default_rng(11)
+        B, T, H, W, N = 1, 8, 32, 32, 4
+        video = jnp.asarray(rng.random((B, T, H, W, 3), np.float32) * 255)
+        trajs = jnp.asarray(rng.random((B, T, N, 2), np.float32) * 28)
+        vis = jnp.ones((B, T, N), jnp.float32)
+        valids = jnp.ones((B, T, N), jnp.float32)
+        queries = sample_queries_from_gt(jax.random.PRNGKey(0), trajs, vis)
+        cfg = TrainConfig(iters=2)
+
+        def grads_of(model):
+            return jax.grad(
+                lambda p: tracker_loss_fn(
+                    model, p, video, trajs, vis, valids, queries, cfg
+                ),
+                has_aux=True,
+            )(params)
+
+        gp, aux_p = grads_of(plain)
+        gf, aux_f = grads_of(fast)
+        np.testing.assert_allclose(
+            float(aux_f["total_loss"]), float(aux_p["total_loss"]), rtol=1e-3
+        )
+        flat_p = jax.tree_util.tree_leaves_with_path(gp)
+        flat_f = jax.tree_util.tree_leaves(gf)
+        for (path, a), b in zip(flat_p, flat_f):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            scale = max(np.abs(a).max(), np.abs(b).max(), 1e-8)
+            # atol floor: leaves whose gradient is ~0 in both models are
+            # f32 accumulation noise (~1e-8) — numerically equal to zero
+            np.testing.assert_allclose(
+                a, b, rtol=2e-2, atol=max(2e-3 * scale, 1e-7),
+                err_msg=jax.tree_util.keystr(path),
+            )
