@@ -511,6 +511,137 @@ class CoTrackerThree(nn.Module):
             )
         return out_coords, out_vis, out_conf, train_data
 
+    # ------------------------------------------------------------- multi-window
+
+    def forward_windows(
+        self,
+        video,
+        queries,
+        iters: int = 4,
+        track_mask: Optional[jnp.ndarray] = None,
+        add_space_attn: bool = True,
+        is_train: bool = False,
+    ):
+        """Sliding-window forward over a full video with warm-started window
+        chaining — the reference CoTrackerThreeOnline.forward with
+        is_online=False (cotracker3_online.py:266-541). This is how the
+        window-16 (online-checkpoint) model is TRAINED and how it runs
+        non-streaming inference over videos longer than one window.
+
+        video (B, T, H, W, 3) in [0, 255]; queries (B, N, 3) (t, x, y) model
+        pixels. Window indices are static Python ints, so every window slice
+        and buffer write is a static-shape op; the per-iteration core is the
+        same scanned IterationCore the single-window paths use.
+
+        Returns (coords (B,T,N,2) px, vis, conf (B,T,N) probabilities,
+        train_data). When is_train, train_data = (per-window tuple of
+        (iters,B,S,N,2) coords, per-window sigmoid vis, per-window sigmoid
+        conf, valid_mask (B,T,N) "query started" mask) mirroring the
+        reference's all_*_predictions lists (cotracker3_online.py:508-518,
+        528-538); windows extending past T are kept full-length here — the
+        loss masks the padded frames instead of truncating (reference
+        S_trimmed slicing)."""
+        B, T, H, W, _ = video.shape
+        N = queries.shape[1]
+        S = self.window_len
+        step = S // 2
+
+        queried_frames = queries[..., 0].astype(jnp.float32)
+        queried_coords = queries[..., 1:3].astype(jnp.float32) / self.stride
+
+        # reference: num_windows = (T - S + step - 1) // step + 1, clamped so
+        # short videos still get one window
+        num_windows = max(1, -(-(T - S) // step) + 1)
+        T_buf = step * (num_windows - 1) + S
+        if T_buf > T:
+            # repeat the last frame (reference pad, cotracker3_online.py:320-328)
+            pad = jnp.broadcast_to(video[:, -1:], (B, T_buf - T) + video.shape[2:])
+            video = jnp.concatenate([video, pad], axis=1)
+
+        fmaps = self.compute_fmaps(video)
+        fmaps_pyramid = self.build_pyramid(fmaps)
+        _, support_pyramid = self.track_feat_pyramid(
+            fmaps_pyramid, queried_frames, queried_coords
+        )
+        if track_mask is not None:
+            support_pyramid = [
+                s * track_mask[:, None, :, None].astype(s.dtype)
+                for s in support_pyramid
+            ]
+
+        coords_buf = jnp.zeros((B, T_buf, N, 2), jnp.float32)
+        vis_buf = jnp.zeros((B, T_buf, N), jnp.float32)  # logits
+        conf_buf = jnp.zeros((B, T_buf, N), jnp.float32)
+
+        all_coords, all_vis, all_conf = [], [], []
+        overlap = S - step
+        for w in range(num_windows):
+            ind = w * step
+            coords_init = jnp.broadcast_to(
+                queried_coords[:, None], (B, S, N, 2)
+            ).astype(jnp.float32)
+            vis_init = jnp.zeros((B, S, N), jnp.float32)
+            conf_init = jnp.zeros((B, S, N), jnp.float32)
+            if ind > 0:
+                # warm start from the overlap with the previous window
+                # (reference cotracker3_online.py:456-482); gradients flow
+                # across windows through vis/conf (coords are detached at the
+                # top of every iteration, like the reference)
+                copy_over = (queried_frames < float(ind + overlap))[:, None, :]
+
+                def warm(buf, init, extra_dims):
+                    sl = buf[:, ind : ind + overlap]
+                    last = jnp.broadcast_to(sl[:, -1:], (B, step) + sl.shape[2:])
+                    prev = jnp.concatenate([sl, last], axis=1)  # (B, S, ...)
+                    cw = copy_over
+                    for _ in range(extra_dims):
+                        cw = cw[..., None]
+                    return jnp.where(cw, prev, init)
+
+                coords_init = warm(coords_buf / self.stride, coords_init, 1)
+                vis_init = warm(vis_buf, vis_init, 0)
+                conf_init = warm(conf_buf, conf_init, 0)
+
+            active = queried_frames < float(ind + S)  # (B, N)
+            wmask = active
+            if track_mask is not None:
+                wmask = active & track_mask.astype(bool)
+            sup = [
+                s * active[:, None, :, None].astype(s.dtype) for s in support_pyramid
+            ]
+            window_pyr = [f[:, ind : ind + S] for f in fmaps_pyramid]
+
+            cp, vp, fp = self.iterate(
+                window_pyr,
+                sup,
+                coords_init,
+                vis_init,
+                conf_init,
+                iters=iters,
+                track_mask=wmask,
+                add_space_attn=add_space_attn,
+            )
+            coords_buf = coords_buf.at[:, ind : ind + S].set(cp[-1])
+            vis_buf = vis_buf.at[:, ind : ind + S].set(vp[-1])
+            conf_buf = conf_buf.at[:, ind : ind + S].set(fp[-1])
+            if is_train:
+                all_coords.append(cp)
+                all_vis.append(jax.nn.sigmoid(vp))
+                all_conf.append(jax.nn.sigmoid(fp))
+
+        out_coords = coords_buf[:, :T]
+        out_vis = jax.nn.sigmoid(vis_buf[:, :T])
+        out_conf = jax.nn.sigmoid(conf_buf[:, :T])
+        train_data = None
+        if is_train:
+            # "query has started" mask (reference cotracker3_online.py:528-533)
+            valid_mask = (
+                queried_frames[:, None, :]
+                <= jnp.arange(T, dtype=jnp.float32)[None, :, None]
+            ).astype(jnp.float32)
+            train_data = (tuple(all_coords), tuple(all_vis), tuple(all_conf), valid_mask)
+        return out_coords, out_vis, out_conf, train_data
+
     # ----------------------------------------------------------------- online
 
     def online_init(self, batch: int, num_tracks: int, capacity: int):

@@ -63,15 +63,26 @@ def _bce(prob, target):
     return -(target * log_p + (1.0 - target) * log_1mp)
 
 
-def sequence_bce_loss(vis_preds, vis_gt):
+def sequence_bce_loss(vis_preds, vis_gt, frame_mask=None):
     """Mean BCE over iterations (reference losses.py:56-66).
 
     vis_preds: (iters, B, T, N) probabilities; vis_gt (B, T, N) in {0,1}.
+    frame_mask: optional (T,) validity — padded window frames are excluded
+    from the mean (the reference truncates such frames instead,
+    cotracker3_online.py:508-518; masked mean over full static windows is
+    numerically identical).
     """
     iters = vis_preds.shape[0]
     total = 0.0
     for i in range(iters):
-        total = total + jnp.mean(_bce(vis_preds[i], vis_gt))
+        bce = _bce(vis_preds[i], vis_gt)
+        if frame_mask is None:
+            total = total + jnp.mean(bce)
+        else:
+            m = frame_mask[None, :, None]
+            total = total + jnp.sum(bce * m) / (
+                jnp.sum(m) * bce.shape[0] * bce.shape[2]
+            )
     return total / iters
 
 
@@ -81,11 +92,13 @@ def sequence_prob_loss(
     target_points,
     visibility,
     expected_dist_thresh: float = 12.0,
+    frame_mask=None,
 ):
     """Confidence loss: classify "err <= 12px" (reference losses.py:69-93).
 
     tracks (iters, B, T, N, 2); confidence (iters, B, T, N) probabilities;
-    target_points (B, T, N, 2); visibility (B, T, N).
+    target_points (B, T, N, 2); visibility (B, T, N). frame_mask as in
+    sequence_bce_loss.
     """
     iters = tracks.shape[0]
     total = 0.0
@@ -93,5 +106,11 @@ def sequence_prob_loss(
         err = jnp.sum((jax.lax.stop_gradient(tracks[i]) - target_points) ** 2, axis=-1)
         valid = (err <= expected_dist_thresh**2).astype(jnp.float32)
         logprob = _bce(confidence[i], valid) * visibility
-        total = total + jnp.mean(logprob, axis=(1, 2))
+        if frame_mask is None:
+            total = total + jnp.mean(logprob, axis=(1, 2))
+        else:
+            m = frame_mask[None, :, None]
+            total = total + jnp.sum(logprob * m, axis=(1, 2)) / (
+                jnp.sum(frame_mask) * logprob.shape[2]
+            )
     return total / iters

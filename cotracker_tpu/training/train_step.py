@@ -7,6 +7,7 @@ The step is written to be pjit-sharded over a Mesh("data", "track"): batch on
 
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -58,6 +59,58 @@ def sample_queries_from_gt(rng, trajs_g, vis_g, method: str = "first_visible"):
     return jnp.concatenate([inds[..., None].astype(jnp.float32), xys], axis=-1)
 
 
+def _online_loss_assembly(train_data, trajs_g, vis_g, valids, cfg: TrainConfig):
+    """Per-sliding-window loss assembly for the online model (reference
+    train_on_kubric.py:175-227): slice GT to each S-frame window (step S//2),
+    gate valids by the "query started" mask, average losses over windows.
+
+    Windows extending past T are handled by masking the padded frames
+    (frame_mask) instead of the reference's truncation — identical means.
+    """
+    coords_w, vis_w, conf_w, valid_mask = train_data
+    T = vis_g.shape[1]
+    S = cfg.sliding_window_len
+    step = S // 2
+    gated_valids = valids * valid_mask
+
+    flow = invis = 0.0
+    vis_l = 0.0
+    conf_l = 0.0
+    for w in range(len(coords_w)):
+        ind = w * step
+        n_real = min(S, T - ind)
+
+        def sl(x):
+            pad = [(0, 0)] * x.ndim
+            pad[1] = (0, S - n_real)
+            return jnp.pad(x[:, ind : ind + n_real], pad)
+
+        frame_mask = jnp.asarray(
+            np.arange(S) < n_real, dtype=jnp.float32
+        ) if n_real < S else None
+        traj_gt = sl(trajs_g)
+        vis_gt = sl(vis_g)
+        val = sl(gated_valids)
+        if frame_mask is not None:
+            val = val * frame_mask[None, :, None]
+
+        flow = flow + sequence_loss(
+            coords_w[w], traj_gt, val, vis=vis_gt, gamma=0.8,
+            add_huber_loss=cfg.add_huber_loss, loss_only_for_visible=True,
+        )
+        if not cfg.train_only_on_visible:
+            invis = invis + sequence_loss(
+                coords_w[w], traj_gt, val, vis=1.0 - vis_gt, gamma=0.8,
+                add_huber_loss=False, loss_only_for_visible=True,
+            )
+        vis_l = vis_l + sequence_bce_loss(vis_w[w], vis_gt, frame_mask=frame_mask)
+        conf_l = conf_l + jnp.mean(
+            sequence_prob_loss(coords_w[w], conf_w[w], traj_gt, vis_gt, frame_mask=frame_mask)
+        )
+    n = len(coords_w)
+    return flow / n, invis / n, vis_l / n, conf_l / n
+
+
 def tracker_loss_fn(
     model,
     params,
@@ -69,11 +122,40 @@ def tracker_loss_fn(
     cfg: TrainConfig,
     track_mask: Optional[jnp.ndarray] = None,
 ):
-    """Offline-model training loss (reference train_on_kubric.py:163-227).
+    """Training loss (reference train_on_kubric.py:163-227): single-window
+    forward for the offline model, warm-started multi-window forward + the
+    per-window loss assembly for the online model (cfg.offline_model=False).
 
     video (B, T, H, W, 3); trajs_g (B, T, N, 2); vis_g/valids (B, T, N).
     Returns (total_loss, aux dict).
     """
+    if not cfg.offline_model:
+        _, _, _, train_data = model.apply(
+            {"params": params},
+            video,
+            queries,
+            iters=cfg.iters,
+            is_train=True,
+            track_mask=track_mask,
+            method="forward_windows",
+        )
+        if track_mask is not None:
+            valids = valids * track_mask[:, None, :].astype(valids.dtype)
+        flow_loss, invis_loss, vis_loss, conf_loss = _online_loss_assembly(
+            train_data, trajs_g, vis_g, valids, cfg
+        )
+        total = flow_loss * cfg.flow_weight + vis_loss + conf_loss
+        aux = {
+            "flow_loss": flow_loss * cfg.flow_weight,
+            "vis_loss": vis_loss,
+            "conf_loss": conf_loss,
+        }
+        if not cfg.train_only_on_visible:
+            total = total + invis_loss * cfg.invisible_flow_weight
+            aux["invisible_flow_loss"] = invis_loss * cfg.invisible_flow_weight
+        aux["total_loss"] = total
+        return total, aux
+
     _, _, _, train_data = model.apply(
         {"params": params},
         video,

@@ -39,8 +39,21 @@ class TrainerArgs:
     wdecay: float = 1e-5
     train_iters: int = 4
     save_every_n_steps: int = 5000
+    # mid-training benchmark eval cadence (reference train_on_kubric.py:455-493)
     eval_every_n_steps: int = 0
     evaluate_at_start: bool = False
+    # comma-separated name=root eval dataset specs, e.g.
+    # "tapvid_davis_first=/data/tapvid_davis/tapvid_davis.pkl"
+    eval_datasets: str = ""
+    fast_eval: bool = True
+    # save track-overlay videos of a train batch every N steps
+    # (reference train_on_kubric.py:409-443)
+    save_vis_every_n_steps: int = 0
+    # input pipeline (reference: 10-worker DataLoader + x4 concat,
+    # train_on_kubric.py:313-325, utils/train_utils.py:97-121)
+    num_loader_workers: int = 4
+    loader_prefetch: int = 4
+    dataset_repeats: int = 4
     crop_size: Tuple[int, int] = (384, 512)
     offline_model: bool = True
     model_window_len: int = 60
@@ -122,8 +135,12 @@ def find_auto_resume(ckpt_dir):
 
 
 def batch_iterator(dataset, batch_size, rng):
-    """Simple infinite shuffled iterator with failed-sample skipping
-    (reference gotit handling, train_on_kubric.py:391-394)."""
+    """Synchronous infinite shuffled iterator with failed-sample skipping
+    (reference gotit handling, train_on_kubric.py:391-394). Prefer
+    data_loader.PrefetchLoader for real runs — this stalls the device on
+    decode."""
+    from cotracker_tpu.training.data_loader import collate_batch
+
     order = rng.permutation(len(dataset))
     i = 0
     while True:
@@ -136,15 +153,18 @@ def batch_iterator(dataset, batch_size, rng):
             i += 1
             if gotit:
                 samples.append(s)
-        yield {
-            "video": np.stack([s.video.transpose(0, 2, 3, 1) for s in samples]),
-            "trajs_g": np.stack([s.trajectory for s in samples]),
-            "vis_g": np.stack([s.visibility for s in samples]).astype(np.float32),
-            "valids": np.stack([s.valid for s in samples]).astype(np.float32),
-        }
+        yield collate_batch(samples)
 
 
-def train(args: TrainerArgs, dataset=None, model=None):
+def _parse_eval_specs(spec: str):
+    out = {}
+    for part in filter(None, (p.strip() for p in spec.split(","))):
+        name, _, root = part.partition("=")
+        out[name] = root
+    return out
+
+
+def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=None):
     from cotracker_tpu.models.cotracker3 import CoTrackerThree
     from cotracker_tpu.models.build import init_params
     from cotracker_tpu.parallel.mesh import make_mesh, sharded_train_step, replicate
@@ -182,6 +202,8 @@ def train(args: TrainerArgs, dataset=None, model=None):
         add_huber_loss=args.add_huber_loss,
         train_only_on_visible=args.train_only_on_visible,
         offline_model=args.offline_model,
+        # online model: loss windows must match the model's sliding window
+        sliding_window_len=args.model_window_len,
         query_sampling_method=args.query_sampling_method,
     )
     tx, schedule = make_optimizer(args.lr, args.wdecay, args.num_steps)

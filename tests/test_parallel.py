@@ -141,3 +141,51 @@ class TestShardedTrainStep:
             float(jnp.max(jnp.abs(a - b))) for a, b in zip(flat1, flat2)
         )
         assert worst < 5e-4, worst
+
+
+class TestShardedOnlineTrainStep:
+    def test_online_step_runs_sharded(self):
+        """The ONLINE (multi-window, offline_model=False) train step compiles
+        and runs on a (2, 4) data x track mesh with a finite loss — the
+        sliding-window warm-start chaining and per-window masks must be
+        GSPMD-partitionable (VERDICT r1 item 2)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from cotracker_tpu.training.train_step import (
+            TrainConfig,
+            make_optimizer,
+            make_train_step,
+        )
+        from jax.sharding import NamedSharding
+
+        model, params = _tiny_model()
+        B, T, N = 2, 12, 16
+        video, _ = _data(B=B, T=T)
+        rng = np.random.default_rng(3)
+        batch = {
+            "video": video,
+            "trajs_g": jnp.asarray(rng.random((B, T, N, 2)).astype(np.float32) * 31),
+            "vis_g": jnp.asarray((rng.random((B, T, N)) > 0.3).astype(np.float32))
+            .at[:, 0]
+            .set(1.0),
+            "valids": jnp.asarray(np.ones((B, T, N), np.float32)),
+        }
+        cfg = TrainConfig(iters=2, offline_model=False, sliding_window_len=8)
+        tx, _ = make_optimizer(lr=1e-4, num_steps=100)
+        step = make_train_step(model, tx, cfg)
+
+        mesh = make_mesh((2, 4), devices=jax.devices()[:8])
+        sstep = sharded_train_step(step, mesh)
+        pp = replicate(mesh, params)
+        oo = replicate(mesh, tx.init(params))
+        bb = {
+            "video": shard_batch(mesh, batch["video"], P("data", None, None, None, None)),
+            "trajs_g": shard_batch(mesh, batch["trajs_g"], P("data", None, "track", None)),
+            "vis_g": shard_batch(mesh, batch["vis_g"], P("data", None, "track")),
+            "valids": shard_batch(mesh, batch["valids"], P("data", None, "track")),
+        }
+        from jax.sharding import PartitionSpec as P2
+
+        key = jax.device_put(jax.random.PRNGKey(0), NamedSharding(mesh, P2()))
+        p2, o2, m2 = sstep(pp, oo, key, bb)
+        assert np.isfinite(float(m2["total_loss"]))
