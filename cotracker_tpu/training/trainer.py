@@ -168,7 +168,10 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
     from cotracker_tpu.models.cotracker3 import CoTrackerThree
     from cotracker_tpu.models.build import init_params
     from cotracker_tpu.parallel.mesh import make_mesh, sharded_train_step, replicate
+    from cotracker_tpu.training.data_loader import PrefetchLoader, RepeatedDataset
+    from cotracker_tpu.training.train_utils import install_slurm_handlers, run_test_eval
 
+    install_slurm_handlers()  # SIGUSR1 requeue / SIGTERM bypass under SLURM
     os.makedirs(args.exp_dir, exist_ok=True)
     with open(os.path.join(args.exp_dir, "meta.json"), "w") as f:
         json.dump(asdict(args), f, indent=2)
@@ -225,7 +228,28 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
     step_fn = make_train_step(model, tx, cfg)
     n_dev = len(jax.devices())
     if n_dev > 1:
-        shape = args.mesh_shape or (n_dev, 1)
+        if args.use_pallas_corr:
+            # pallas_call is not GSPMD-partitionable: under the sharded jit the
+            # kernel would silently replicate (or fail to partition) the
+            # correlation work per device. Single-chip only until the kernel is
+            # wrapped in shard_map.
+            raise ValueError(
+                "use_pallas_corr is single-device only; run the XLA corr path "
+                "on meshes (or shard_map the kernel first)"
+            )
+        shape = args.mesh_shape
+        if shape is None:
+            # default: as much data-parallelism as the batch divides into,
+            # remaining devices shard the track axis
+            import math
+
+            d = math.gcd(args.batch_size, n_dev)
+            shape = (d, n_dev // d)
+        if args.batch_size % shape[0] or args.traj_per_sample % shape[1]:
+            raise ValueError(
+                f"batch {args.batch_size} / tracks {args.traj_per_sample} "
+                f"don't shard over mesh {shape}"
+            )
         mesh = make_mesh(shape)
         step_fn = sharded_train_step(step_fn, mesh)
         params = replicate(mesh, params)
@@ -235,23 +259,96 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
         step_fn = jax.jit(step_fn, donate_argnums=(0, 1))
 
     logger = Logger(args.exp_dir)
+
+    # mid-training benchmark eval (reference train_on_kubric.py:455-493 ->
+    # run_test_eval). Injectable for tests; default wires eval_datasets specs.
+    eval_specs = _parse_eval_specs(args.eval_datasets)
+    if eval_hook is None and eval_specs:
+        def eval_hook(p, step):
+            return run_test_eval(
+                model, p, eval_specs, args.exp_dir,
+                n_iters=6, fast_eval=args.fast_eval,
+                writer=logger.writer, step=step,
+            )
+
+    eval_records_path = os.path.join(args.exp_dir, "eval_records.jsonl")
+
+    last_eval_step = [-1]
+
+    def run_eval(p, step):
+        if eval_hook is None or last_eval_step[0] == step:
+            return None
+        last_eval_step[0] = step
+        res = eval_hook(p, step)
+        with open(eval_records_path, "a") as f:
+            f.write(json.dumps({"step": step, "results": res}, default=float) + "\n")
+        print(f"eval @ step {step}: {res}")
+        return res
+
+    # track-overlay visualization of a train batch on cadence
+    # (reference train_on_kubric.py:409-443). Injectable for tests.
+    if vis_hook is None and args.save_vis_every_n_steps:
+        from cotracker_tpu.utils.visualizer import Visualizer
+
+        visualizer = Visualizer(save_dir=args.exp_dir, fps=6)
+        fwd = jax.jit(
+            lambda p, video, queries: model.apply(
+                {"params": p}, video, queries, iters=cfg.iters
+            )[:2]
+        )
+
+        def vis_hook(p, batch, step):
+            vis_g = np.asarray(batch["vis_g"])
+            first_vis = np.argmax(vis_g, axis=1)  # (B, N)
+            trajs = np.asarray(batch["trajs_g"])
+            xys = np.take_along_axis(trajs, first_vis[:, None, :, None], axis=1)[:, 0]
+            queries = jnp.asarray(
+                np.concatenate([first_vis[..., None], xys], axis=-1), jnp.float32
+            )
+            tracks, vis = fwd(p, batch["video"], queries)
+            video_tchw = np.asarray(batch["video"]).transpose(0, 1, 4, 2, 3)
+            visualizer.visualize(
+                video_tchw, np.asarray(tracks), np.asarray(vis) > 0.5,
+                filename=f"train_step_{step}", writer=logger.writer, step=step,
+            )
+
     rng_np = np.random.default_rng(args.seed)
-    batches = batch_iterator(dataset, args.batch_size, rng_np)
+    loader = PrefetchLoader(
+        RepeatedDataset(dataset, args.dataset_repeats) if args.dataset_repeats > 1 else dataset,
+        args.batch_size,
+        rng_np,
+        num_workers=args.num_loader_workers,
+        prefetch=args.loader_prefetch,
+    )
     key = jax.random.PRNGKey(args.seed)
 
-    t_start = time.time()
-    for step in range(step0, args.num_steps):
-        batch_np = next(batches)
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-        key, sub = jax.random.split(key)
-        params, opt_state, aux = step_fn(params, opt_state, sub, batch)
-        logger.push({k: v for k, v in aux.items()}, step)
+    if args.evaluate_at_start and step0 == 0:
+        run_eval(params, 0)
 
-        if args.save_every_n_steps and (step + 1) % args.save_every_n_steps == 0:
-            save_checkpoint(
-                os.path.join(ckpt_dir, f"model_{step + 1:09d}.pkl"), params, opt_state, step + 1
-            )
+    t_start = time.time()
+    try:
+        for step in range(step0, args.num_steps):
+            batch_np = next(loader)
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            key, sub = jax.random.split(key)
+            params, opt_state, aux = step_fn(params, opt_state, sub, batch)
+            logger.push({k: v for k, v in aux.items()}, step)
+
+            if args.save_every_n_steps and (step + 1) % args.save_every_n_steps == 0:
+                save_checkpoint(
+                    os.path.join(ckpt_dir, f"model_{step + 1:09d}.pkl"), params, opt_state, step + 1
+                )
+            if args.eval_every_n_steps and (step + 1) % args.eval_every_n_steps == 0:
+                run_eval(params, step + 1)
+            if vis_hook is not None and args.save_vis_every_n_steps and (
+                (step + 1) % args.save_vis_every_n_steps == 0
+            ):
+                vis_hook(params, batch, step + 1)
+    finally:
+        loader.close()
     save_checkpoint(os.path.join(ckpt_dir, "model_final.pkl"), params, opt_state, args.num_steps)
+    if eval_hook is not None and args.eval_every_n_steps:
+        run_eval(params, args.num_steps)
     print(f"training done in {time.time() - t_start:.0f}s")
     return params
 
