@@ -34,6 +34,12 @@ class DistillConfig(NamedTuple):
     grad_clip: float = 10.0
     sift_size: int = 384
     restart_from: Optional[str] = None
+    # online (sliding-window) student: multi-window forward + per-window loss
+    # (reference train_on_real_data.py:183-194 with offline_model=False)
+    offline_model: bool = True
+    sliding_window_len: int = 16
+    # reference --train_only_visible_points (also forced for the TAPIR teacher)
+    train_only_visible: bool = False
 
 
 def sample_distill_queries(
@@ -85,31 +91,61 @@ def make_distill_loss(model, cfg: DistillConfig):
             iters=cfg.iters,
             is_train=True,
             track_mask=track_mask,
+            method=None if cfg.offline_model else "forward_windows",
         )
-        coord_preds, _, _, _ = train_data
+        teacher_vis = teacher_vis.astype(jnp.float32)
         valids = jnp.ones(teacher_vis.shape, jnp.float32)
         if track_mask is not None:
             valids = valids * track_mask[:, None, :].astype(jnp.float32)
 
-        flow = sequence_loss(
-            coord_preds,
-            teacher_tracks,
-            valids,
-            vis=teacher_vis.astype(jnp.float32),
-            gamma=0.8,
-            add_huber_loss=True,
-            loss_only_for_visible=True,
-        )
-        invis = sequence_loss(
-            coord_preds,
-            teacher_tracks,
-            valids,
-            vis=1.0 - teacher_vis.astype(jnp.float32),
-            gamma=0.8,
-            add_huber_loss=False,
-            loss_only_for_visible=True,
-        )
-        total = flow * cfg.flow_weight + invis * cfg.invisible_flow_weight
+        if cfg.offline_model:
+            coord_preds = train_data[0]
+            flow = sequence_loss(
+                coord_preds, teacher_tracks, valids, vis=teacher_vis,
+                gamma=0.8, add_huber_loss=True, loss_only_for_visible=True,
+            )
+            invis = sequence_loss(
+                coord_preds, teacher_tracks, valids, vis=1.0 - teacher_vis,
+                gamma=0.8, add_huber_loss=False, loss_only_for_visible=True,
+            )
+        else:
+            # per-window slices gated by the query-started mask
+            # (reference train_on_real_data.py:183-194)
+            coords_w, _, _, valid_mask = train_data
+            T = teacher_vis.shape[1]
+            S = cfg.sliding_window_len
+            step = S // 2
+            gated = valids * valid_mask
+            flow = invis = 0.0
+            for w in range(len(coords_w)):
+                ind = w * step
+                n_real = min(S, T - ind)
+
+                def sl(x):
+                    pad = [(0, 0)] * x.ndim
+                    pad[1] = (0, S - n_real)
+                    return jnp.pad(x[:, ind : ind + n_real], pad)
+
+                traj_gt = sl(teacher_tracks)
+                vis_gt = sl(teacher_vis)
+                val = sl(gated)
+                if n_real < S:
+                    fm = jnp.asarray(np.arange(S) < n_real, jnp.float32)
+                    val = val * fm[None, :, None]
+                flow = flow + sequence_loss(
+                    coords_w[w], traj_gt, val, vis=vis_gt,
+                    gamma=0.8, add_huber_loss=True, loss_only_for_visible=True,
+                )
+                invis = invis + sequence_loss(
+                    coords_w[w], traj_gt, val, vis=1.0 - vis_gt,
+                    gamma=0.8, add_huber_loss=False, loss_only_for_visible=True,
+                )
+            flow = flow / len(coords_w)
+            invis = invis / len(coords_w)
+
+        total = flow * cfg.flow_weight
+        if not cfg.train_only_visible:
+            total = total + invis * cfg.invisible_flow_weight
         return total, {"flow_loss": flow * cfg.flow_weight, "invis_loss": invis * cfg.invisible_flow_weight, "total_loss": total}
 
     return loss_fn
