@@ -1,71 +1,103 @@
-"""TAPIR / BootsTAPIR teacher wrapper (reference bootstap_predictor.py:17-65).
+"""TAPIR / BootsTAPIR teacher wrapper (reference
+cotracker/models/bootstap_predictor.py:17-65).
 
-The reference wraps the external `tapnet` package's TAPIR model as a
-distillation teacher: 256x256 input, (t, y, x) -> (t, x, y) query conversion,
-occlusion -> visibility post-processing. tapnet is a JAX codebase, so when it
-is installed this wrapper runs it natively; otherwise construction raises
-with instructions (mirroring the reference's hard dependency).
+The reference wraps the external `tapnet` TAPIR model as a distillation
+teacher: 256x256 input, (t, x, y) -> (t, y, x) query conversion with
+plain-ratio coordinate rescale, and visibility =
+(1 - sigmoid(occlusion)) * (1 - sigmoid(expected_dist)) > 0.5
+(reference postprocess_occlusions, bootstap_predictor.py:12-14).
+
+`model_fn` is injectable so the conversion/rescale semantics are testable
+without tapnet installed; when omitted, the tapnet JAX model is built
+(tapnet is a JAX codebase, so it runs natively here).
 """
 
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 
 
+def postprocess_occlusions(occlusions, expected_dist):
+    """visibles = (1-sigmoid(occ)) * (1-sigmoid(expd)) > 0.5 (reference
+    bootstap_predictor.py:12-14). Inputs are logits, any matching shape."""
+    sig = lambda x: 1.0 / (1.0 + np.exp(-x))
+    return (1.0 - sig(occlusions)) * (1.0 - sig(expected_dist)) > 0.5
+
+
 class TAPIRPredictor:
-    def __init__(self, checkpoint: Optional[str] = None, resolution: Tuple[int, int] = (256, 256)):
+    """Callable (video (1,T,3,H,W) [0,255], queries (1,N,3) (t,x,y)) ->
+    (tracks (1,T,N,2) at input resolution, visibility (1,T,N) {0,1} floats).
+
+    model_fn: (frames (1,T,rh,rw,3) in [-1,1], query_points (1,N,3) (t,y,x)
+    in raster units) -> dict with "tracks" (1,N,T,2) (x,y in model raster),
+    "occlusion" (1,N,T) logits, "expected_dist" (1,N,T) logits — the tapnet
+    TAPIR output contract.
+    """
+
+    def __init__(
+        self,
+        checkpoint: Optional[str] = None,
+        resolution: Tuple[int, int] = (256, 256),
+        model_fn: Optional[Callable] = None,
+    ):
+        self.resolution = resolution
+        if model_fn is not None:
+            self._model_fn = model_fn
+            return
         try:
             from tapnet.models import tapir_model  # noqa: F401
         except ImportError as e:
             raise ImportError(
                 "TAPIRPredictor requires the external `tapnet` package "
                 "(github.com/google-deepmind/tapnet). Install it and pass a "
-                "BootsTAPIR checkpoint to use TAPIR as a distillation teacher."
+                "BootsTAPIR checkpoint, or inject model_fn."
             ) from e
         import haiku as hk
         import jax
         from tapnet.models import tapir_model
 
-        self.resolution = resolution
-
         def forward(frames, query_points):
             model = tapir_model.TAPIR(bilinear_interp_with_depthwise_conv=False)
             return model(frames, query_points, query_chunk_size=64)
 
-        self._fn = hk.transform_with_state(forward)
+        fn = hk.transform_with_state(forward)
         params, state = None, None
         if checkpoint is not None:
             ckpt = np.load(checkpoint, allow_pickle=True).item()
             params, state = ckpt["params"], ckpt["state"]
-        self._params, self._state = params, state
-        self._apply = jax.jit(self._fn.apply)
+        apply = jax.jit(fn.apply)
+        key = jax.random.PRNGKey(0)
+
+        def model_fn(frames, query_points):
+            out, _ = apply(params, state, key, frames, query_points)
+            return out
+
+        self._model_fn = model_fn
 
     def __call__(self, video, queries):
-        """video (1, T, 3, H, W) [0,255]; queries (1, N, 3) (t, x, y).
-        Returns (tracks (1, T, N, 2) at input res, visibility probs)."""
-        import jax
-
         B, T, C, H, W = video.shape
+        assert B == 1
         rh, rw = self.resolution
-        from cotracker_tpu.ops.bilinear import resize_bilinear
+
         import jax.numpy as jnp
+        from cotracker_tpu.ops.bilinear import resize_bilinear
 
-        frames = jnp.asarray(video[0].transpose(0, 2, 3, 1))
-        frames = resize_bilinear(frames, (rh, rw), align_corners=True)
-        frames = frames / 127.5 - 1.0  # tapir convention
+        frames = jnp.asarray(np.asarray(video)[0].transpose(0, 2, 3, 1))
+        frames = resize_bilinear(frames, (rh, rw), align_corners=False)
+        frames = (frames / 255.0) * 2.0 - 1.0  # tapir convention
 
-        q = np.array(queries[0], np.float32, copy=True)
-        # (t, x, y) -> tapir's (t, y, x) in 256x256 raster
+        # (t, x, y) -> tapir's (t, y, x), plain-ratio rescale (reference
+        # bootstap_predictor.py:43-49: q_x *= 256/W then swap to (t, y, x))
+        q = np.array(np.asarray(queries)[0], np.float32, copy=True)
         qt = np.stack(
-            [q[:, 0], q[:, 2] * (rh - 1) / (H - 1), q[:, 1] * (rw - 1) / (W - 1)], axis=-1
+            [q[:, 0], q[:, 2] * rh / H, q[:, 1] * rw / W], axis=-1
         )
 
-        (out, _), _ = self._apply(
-            self._params, self._state, jax.random.PRNGKey(0), frames[None], qt[None]
-        ), None
+        out = self._model_fn(np.asarray(frames)[None], qt[None])
         tracks = np.asarray(out["tracks"])[0].transpose(1, 0, 2)  # (T, N, 2) x,y
-        occ = np.asarray(out["occlusion"])[0].transpose(1, 0)
-        expd = np.asarray(out.get("expected_dist", np.zeros_like(occ)))
-        vis = (1.0 / (1.0 + np.exp(occ))) * (1.0 / (1.0 + np.exp(expd[0].T if expd.ndim == 3 else expd)))
-        tracks = tracks * np.array([(W - 1) / (rw - 1), (H - 1) / (rh - 1)])
+        occ = np.asarray(out["occlusion"])[0].T  # (T, N)
+        expd = np.asarray(out["expected_dist"])[0].T  # (T, N)
+        vis = postprocess_occlusions(occ, expd).astype(np.float32)
+        # model raster -> input resolution (reference :62-64)
+        tracks = tracks * np.array([W / rw, H / rh], np.float32)
         return tracks[None], vis[None]

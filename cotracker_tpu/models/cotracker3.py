@@ -340,12 +340,27 @@ class CoTrackerThree(nn.Module):
 
     # ---------------------------------------------------------------- features
 
-    def compute_fmaps(self, video):
+    def compute_fmaps(self, video, chunk_size: Optional[int] = None):
         """video (B, T, H, W, 3) in [0, 255] -> L2-normalized fmaps
-        (B, T, H/stride, W/stride, latent_dim) in compute dtype."""
+        (B, T, H/stride, W/stride, latent_dim) in compute dtype.
+
+        chunk_size bounds fnet activation memory for long videos by encoding
+        `chunk_size` frames at a time (reference fmaps_chunk_size=200,
+        cotracker3_offline.py:81-91). Chunks are a static Python loop — the
+        per-frame conv stack is batch-independent, so outputs are exact."""
         B, T, H, W, _ = video.shape
         video = (2 * (video / 255.0) - 1.0).astype(self.dtype)
-        fmaps = self.fnet(video.reshape(B * T, H, W, 3))
+        frames = video.reshape(B * T, H, W, 3)
+        if chunk_size is not None and B * T > chunk_size:
+            fmaps = jnp.concatenate(
+                [
+                    self.fnet(frames[i : i + chunk_size])
+                    for i in range(0, B * T, chunk_size)
+                ],
+                axis=0,
+            )
+        else:
+            fmaps = self.fnet(frames)
         fmaps32 = fmaps.astype(jnp.float32)
         denom = jnp.sqrt(jnp.maximum(jnp.sum(fmaps32**2, axis=-1, keepdims=True), 1e-12))
         fmaps = (fmaps32 / denom).astype(self.dtype)
@@ -450,6 +465,7 @@ class CoTrackerThree(nn.Module):
         track_mask: Optional[jnp.ndarray] = None,
         add_space_attn: bool = True,
         is_train: bool = False,
+        fmaps_chunk_size: Optional[int] = 200,
     ):
         """Offline forward: whole video as one window.
 
@@ -469,7 +485,11 @@ class CoTrackerThree(nn.Module):
         queried_frames = queries[..., 0].astype(jnp.float32)
         queried_coords = queries[..., 1:3].astype(jnp.float32) / self.stride
 
-        fmaps = self.compute_fmaps(video)
+        # bound fnet activation memory on long videos (reference chunks 200
+        # frames when not training, cotracker3_offline.py:81-91)
+        fmaps = self.compute_fmaps(
+            video, chunk_size=None if is_train else fmaps_chunk_size
+        )
         fmaps_pyramid = self.build_pyramid(fmaps)
         _, track_support_pyramid = self.track_feat_pyramid(
             fmaps_pyramid, queried_frames, queried_coords
@@ -521,6 +541,7 @@ class CoTrackerThree(nn.Module):
         track_mask: Optional[jnp.ndarray] = None,
         add_space_attn: bool = True,
         is_train: bool = False,
+        fmaps_chunk_size: Optional[int] = 200,
     ):
         """Sliding-window forward over a full video with warm-started window
         chaining — the reference CoTrackerThreeOnline.forward with
@@ -558,7 +579,9 @@ class CoTrackerThree(nn.Module):
             pad = jnp.broadcast_to(video[:, -1:], (B, T_buf - T) + video.shape[2:])
             video = jnp.concatenate([video, pad], axis=1)
 
-        fmaps = self.compute_fmaps(video)
+        fmaps = self.compute_fmaps(
+            video, chunk_size=None if is_train else fmaps_chunk_size
+        )
         fmaps_pyramid = self.build_pyramid(fmaps)
         _, support_pyramid = self.track_feat_pyramid(
             fmaps_pyramid, queried_frames, queried_coords

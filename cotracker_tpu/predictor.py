@@ -359,6 +359,15 @@ class CoTrackerOnlinePredictor:
             self._jit_step = jax.jit(step_fn)
 
         ind_before = int(self._state.ind)
+        if ind_before + S > self.capacity:
+            # the fixed prediction buffers would silently clamp+overwrite the
+            # last window past capacity (dynamic_update_slice semantics)
+            raise ValueError(
+                f"online prediction buffer overflow: window [{ind_before}, "
+                f"{ind_before + S}) exceeds capacity={self.capacity}; "
+                f"construct CoTrackerOnlinePredictor(capacity=...) to cover "
+                f"the stream length"
+            )
         out = self._jit_step(
             self.params, self._state, jnp.asarray(chunk), self._queries, self._track_mask
         )

@@ -227,3 +227,56 @@ class TestDistillTrainerEndToEnd:
         assert all(
             np.all(np.isfinite(np.asarray(g))) for g in jax.tree_util.tree_leaves(grads)
         )
+
+
+class TestTAPIRWrapper:
+    """VERDICT r1 item 7: TAPIR wrapper conversion semantics via an injected
+    stub model (no tapnet needed) — (t,x,y)<->(t,y,x), plain-ratio rescale,
+    vis = (1-sig(occ))*(1-sig(expd)) > 0.5 (reference
+    cotracker/models/bootstap_predictor.py:12-14, 43-64)."""
+
+    def test_conversions_and_postproc(self):
+        from cotracker_tpu.evaluation.bootstap_predictor import TAPIRPredictor
+
+        B, T, H, W, N = 1, 4, 48, 64, 3
+        rng = np.random.default_rng(0)
+        video = (rng.random((B, T, 3, H, W)) * 255).astype(np.float32)
+        queries = np.array(
+            [[[0, 10.0, 20.0], [1, 32.0, 8.0], [2, 63.0, 47.0]]], np.float32
+        )  # (t, x, y) in input raster
+        seen = {}
+
+        def stub_model(frames, query_points):
+            seen["frames"] = frames
+            seen["qp"] = query_points
+            n = query_points.shape[1]
+            # echo each query's (y, x) back as a constant track in model raster
+            yx = query_points[0, :, 1:]  # (N, 2) (y, x)
+            xy = yx[:, ::-1]
+            tracks = np.broadcast_to(xy[None, :, None, :], (1, n, T, 2)).copy()
+            occ = np.full((1, n, T), -10.0, np.float32)
+            occ[0, 1] = +10.0  # track 1 occluded everywhere
+            expd = np.full((1, n, T), -10.0, np.float32)
+            expd[0, 2, 0] = +10.0  # track 2 uncertain at t=0
+            return {"tracks": tracks, "occlusion": occ, "expected_dist": expd}
+
+        pred = TAPIRPredictor(model_fn=stub_model)
+        tracks, vis = pred(video, queries)
+
+        # frames resized to 256 and normalized to [-1, 1]
+        assert seen["frames"].shape == (1, T, 256, 256, 3)
+        assert -1.001 <= seen["frames"].min() and seen["frames"].max() <= 1.001
+        # queries arrived as (t, y, x) with plain-ratio rescale
+        np.testing.assert_allclose(seen["qp"][0, 0], [0, 20.0 * 256 / H, 10.0 * 256 / W], rtol=1e-6)
+        np.testing.assert_allclose(seen["qp"][0, 2], [2, 47.0 * 256 / H, 63.0 * 256 / W], rtol=1e-6)
+
+        # tracks come back in input raster (x, y): echo stub -> original coords
+        assert tracks.shape == (1, T, N, 2)
+        for n in range(N):
+            np.testing.assert_allclose(tracks[0, 0, n], queries[0, n, 1:], rtol=1e-5)
+
+        # visibility semantics
+        assert vis.shape == (1, T, N)
+        assert (vis[0, :, 0] == 1.0).all()
+        assert (vis[0, :, 1] == 0.0).all()
+        assert vis[0, 0, 2] == 0.0 and (vis[0, 1:, 2] == 1.0).all()

@@ -295,3 +295,35 @@ class TestCoTracker2Parity:
         )
         np.testing.assert_allclose(_np(pc)[:, :, :N], _np(base_coords), rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(_np(pv)[:, :, :N], _np(base_vis), rtol=1e-4, atol=1e-4)
+
+
+class TestChunkedEncoder:
+    """fmaps_chunk_size bounds fnet activation memory on long videos
+    (reference cotracker3_offline.py:81-91); chunked == unchunked since the
+    conv stack is per-frame."""
+
+    def test_offline_chunked_matches_unchunked(self):
+        from cotracker_tpu.models.build import init_params
+
+        model = CoTrackerThree(window_len=8, model_resolution=(32, 32))
+        params = init_params(model)
+        rng = np.random.default_rng(30)
+        B, T, H, W, N = 1, 12, 32, 32, 4
+        video = jnp.asarray(rng.random((B, T, H, W, 3), np.float32) * 255)
+        queries = jnp.asarray(
+            np.stack(
+                [np.zeros((B, N)), rng.random((B, N)) * 31, rng.random((B, N)) * 31],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        base = model.apply(
+            {"params": params}, video, queries, iters=2, fmaps_chunk_size=None
+        )
+        chunked = model.apply(
+            {"params": params}, video, queries, iters=2, fmaps_chunk_size=5
+        )
+        # different conv batch sizes reorder XLA reductions; the f32 noise is
+        # amplified by the iterative updates — same tolerance class as the
+        # golden model-parity tests
+        for a, b in zip(base[:3], chunked[:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3)
