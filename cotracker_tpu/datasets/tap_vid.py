@@ -96,6 +96,12 @@ class TapVidDataset:
         queried_first: bool = True,
         fast_eval: bool = False,
     ):
+        # fast_eval subset: Random(42).sample over the accumulated entries,
+        # exactly the reference's selection (tap_vid_datasets.py:145-177) —
+        # EXCEPT that we sort the shard glob while the reference relies on
+        # filesystem glob order, so the kinetics subset matches the reference
+        # only on machines where glob returns sorted paths. robotap samples
+        # from sorted keys and matches unconditionally.
         rng = random.Random(42)
         self.dataset_type = dataset_type
         self.resize_to = resize_to

@@ -69,9 +69,24 @@ class Evaluator:
         logging.info("%s: %s", sample.seq_name, out)
         return out
 
-    def evaluate_sequence(self, predictor, dataset, dataset_name: str, verbose: bool = True):
+    def evaluate_sequence(
+        self,
+        predictor,
+        dataset,
+        dataset_name: str,
+        verbose: bool = True,
+        visualizer=None,
+        visualize_every: int = 1,
+        writer=None,
+        step: int = 0,
+    ):
         """predictor: callable (video (1,T,3,H,W), queries (1,N,3)) ->
-        (tracks, vis). For online predictors pass an OnlineWrapper (below)."""
+        (tracks, vis). For online predictors pass an OnlineWrapper (below).
+
+        When `visualizer` (utils.visualizer.Visualizer) is given, track
+        overlays are saved every `visualize_every` sequences (reference
+        evaluator.py:279-286). When exp_dir is set, per-sequence metrics +
+        the running average are dumped to result_<dataset_name>.json."""
         metrics = {}
         for ind in range(len(dataset)):
             sample = dataset[ind]
@@ -104,9 +119,26 @@ class Evaluator:
                 pred_tracks = np.where(mask, inv_tracks, pred_tracks)
                 pred_vis = np.where(mask[..., 0], inv_vis, pred_vis)
 
+            if visualizer is not None and ind % max(1, visualize_every) == 0:
+                visualizer.visualize(
+                    video,
+                    pred_tracks,
+                    pred_vis if pred_vis.dtype == bool else pred_vis > 0.6,
+                    filename=f"{dataset_name}_{sample.seq_name}",
+                    writer=writer,
+                    step=step,
+                )
             self.compute_metrics(metrics, sample, pred_tracks, pred_vis, dataset_name)
             if verbose:
                 print(f"[{ind + 1}/{len(dataset)}] {sample.seq_name}: avg={metrics['avg']}")
+        if self.exp_dir is not None:
+            import json
+            import os
+
+            os.makedirs(self.exp_dir, exist_ok=True)
+            path = os.path.join(self.exp_dir, f"result_{dataset_name}.json")
+            with open(path, "w") as f:
+                json.dump(metrics, f, indent=2, default=float)
         return metrics
 
 

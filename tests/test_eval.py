@@ -125,9 +125,24 @@ class TestEvaluatorEndToEnd:
         pred = EvaluationPredictor(
             model, params, interp_shape=(32, 48), grid_size=2, single_point=False, n_iters=2
         )
-        ev = Evaluator()
-        metrics = ev.evaluate_sequence(pred, ds, "tapvid_davis_first", verbose=False)
+        from cotracker_tpu.utils.visualizer import Visualizer
+
+        exp = os.path.join(tmp_path, "exp")
+        ev = Evaluator(exp_dir=exp)
+        metrics = ev.evaluate_sequence(
+            pred, ds, "tapvid_davis_first", verbose=False,
+            visualizer=Visualizer(save_dir=exp, fps=4),
+        )
         avg = metrics["avg"]
         assert "average_jaccard" in avg and "average_pts_within_thresh" in avg
         for v in avg.values():
             assert np.isfinite(v)
+
+        # per-sequence results dumped (VERDICT r1 item 9)
+        import json
+
+        res = json.load(open(os.path.join(exp, "result_tapvid_davis_first.json")))
+        assert "seq" in res and "avg" in res
+        assert np.isfinite(res["seq"]["average_jaccard"])
+        # per-sequence track overlay saved
+        assert os.path.exists(os.path.join(exp, "tapvid_davis_first_seq.mp4"))
