@@ -471,7 +471,7 @@ def fused_corr_embs_pallas(
 
 @functools.lru_cache(maxsize=None)
 def _trainable_corr(radius, chunk, compute_dtype, track_major, quant_int8,
-                    interpret, packed_shape, packed_dtype):
+                    interpret):
     """custom_vjp closure for fused_corr_embs_pallas_trainable, cached so the
     primitive identity is stable across traces (jit cache friendliness)."""
     from cotracker_tpu.ops.corr import fused_corr_embs
@@ -487,10 +487,12 @@ def _trainable_corr(radius, chunk, compute_dtype, track_major, quant_int8,
 
     def fwd(packed, fmaps, support, coords, w1, b1, w2, b2):
         out = f(packed, fmaps, support, coords, w1, b1, w2, b2)
-        return out, (fmaps, support, coords, w1, b1, w2, b2)
+        # `packed` rides the residuals only to give bwd its aval — it aliases
+        # the hoisted prepack buffer, no extra memory
+        return out, (packed, fmaps, support, coords, w1, b1, w2, b2)
 
     def bwd(res, ct):
-        fmaps, support, coords, w1, b1, w2, b2 = res
+        packed, fmaps, support, coords, w1, b1, w2, b2 = res
         _, vjp = jax.vjp(
             lambda fm, sp, co, a1, a2, a3, a4: fused_corr_embs(
                 fm, sp, co, a1, a2, a3, a4, radius=radius, chunk=chunk,
@@ -501,7 +503,7 @@ def _trainable_corr(radius, chunk, compute_dtype, track_major, quant_int8,
         grads = vjp(ct)
         # the prepacked operand is forward-only: its gradient channel is the
         # raw fmaps operand (a broadcast-zero cotangent XLA folds away)
-        return (jnp.zeros(packed_shape, packed_dtype),) + grads
+        return (jnp.zeros(packed.shape, packed.dtype),) + grads
 
     f.defvjp(fwd, bwd)
     return f
@@ -543,7 +545,6 @@ def fused_corr_embs_pallas_trainable(
     reference's training signal.
     """
     fn = _trainable_corr(
-        radius, chunk, compute_dtype, track_major, quant_int8, interpret,
-        tuple(packed.shape), jnp.dtype(packed.dtype).name,
+        radius, chunk, compute_dtype, track_major, quant_int8, interpret
     )
     return fn(packed, fmaps, support, coords, w1, b1, w2, b2)

@@ -14,14 +14,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(use_pallas: bool, T: int, remat: bool):
+def build(use_pallas: bool, T: int, remat: bool, dtype=jnp.bfloat16):
     from cotracker_tpu.models.cotracker3 import CoTrackerThree
     from cotracker_tpu.models.build import init_params
 
     model = CoTrackerThree(
         window_len=T,
         model_resolution=(384, 512),
-        dtype=jnp.bfloat16 if use_pallas else jnp.float32,
+        dtype=dtype,
         corr_chunk=None,
         use_pallas_corr=use_pallas,
         corr_pallas_grad=use_pallas,
@@ -69,17 +69,26 @@ def main():
     p.add_argument("--N", type=int, default=768)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--skip_xla", action="store_true")
+    p.add_argument("--with_f32", action="store_true")
     args = p.parse_args()
 
+    # both arms run bf16 so the delta isolates the kernel (the Pallas arm
+    # additionally quantizes corr windows to int8 — noted in its label);
+    # --with_f32 adds the all-f32 XLA arm for the dtype contribution.
     if not args.skip_xla:
-        model, params = build(False, args.T, remat=True)
+        if args.with_f32:
+            model, params = build(False, args.T, remat=True, dtype=jnp.float32)
+            c, s, loss = time_step(model, params, args.T, args.N, args.iters)
+            print(f"xla f32+remat       : {s * 1e3:8.1f} ms/step  (compile {c:.0f}s, loss {loss:.3f})")
+            del model, params
+        model, params = build(False, args.T, remat=True, dtype=jnp.bfloat16)
         c, s, loss = time_step(model, params, args.T, args.N, args.iters)
-        print(f"xla+remat    : {s * 1e3:8.1f} ms/step  (compile {c:.0f}s, loss {loss:.3f})")
+        print(f"xla bf16+remat      : {s * 1e3:8.1f} ms/step  (compile {c:.0f}s, loss {loss:.3f})")
         del model, params
 
     model, params = build(True, args.T, remat=True)
     c, s, loss = time_step(model, params, args.T, args.N, args.iters)
-    print(f"pallas+remat : {s * 1e3:8.1f} ms/step  (compile {c:.0f}s, loss {loss:.3f})")
+    print(f"pallas bf16+i8corr  : {s * 1e3:8.1f} ms/step  (compile {c:.0f}s, loss {loss:.3f})")
 
 
 if __name__ == "__main__":

@@ -536,3 +536,66 @@ class TestPallasCorrGrad:
             compute_dtype=jnp.float32, interpret=True, track_major=True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)
+
+
+class TestPallasCorrGradInt8:
+    def test_quant_int8_ste_grads_match_xla(self):
+        """quant_int8 + corr_pallas_grad (the bench_train_step fast-training
+        config): the backward is a straight-through estimator — bwd is the
+        XLA vjp at the same primals, so GRADIENTS match the XLA path exactly
+        while the int8-packed forward VALUE matches to quantization noise.
+        Exercises the int8-packed forward-only operand through custom_vjp
+        (ADVICE r1 item 3)."""
+        from cotracker_tpu.ops.corr import fused_corr_embs
+        from cotracker_tpu.ops.kernels.corr_pallas import (
+            build_shifted_fmaps,
+            fused_corr_embs_pallas_trainable,
+        )
+
+        rng = np.random.default_rng(9)
+        B, T, H, W, C, N = 1, 3, 16, 24, 128, 4
+        fm = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+        fm = fm / jnp.linalg.norm(fm, axis=-1, keepdims=True)
+        sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+        sup = sup / jnp.linalg.norm(sup, axis=-1, keepdims=True)
+        coords = jnp.asarray(
+            (rng.random((B, T, N, 2)) * np.array([W, H])).astype(np.float32)
+        )
+        w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+        b1 = jnp.asarray(rng.standard_normal(384).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal(256).astype(np.float32) * 0.1)
+        ct_w = jnp.asarray(rng.standard_normal((B, N, T, 256)).astype(np.float32))
+
+        def val_pallas(fm_, sup_, co_, w1_, b2_):
+            packed = build_shifted_fmaps(fm_, 3, jnp.float32, quant_int8=True)
+            assert packed.dtype == jnp.int8
+            out = fused_corr_embs_pallas_trainable(
+                packed, fm_, sup_, co_, w1_, b1, w2, b2_,
+                radius=3, compute_dtype=jnp.float32, interpret=True,
+                track_major=True, quant_int8=True,
+            )
+            return out
+
+        def val_xla(fm_, sup_, co_, w1_, b2_):
+            return fused_corr_embs(
+                fm_, sup_, co_, w1_, b1, w2, b2_,
+                radius=3, compute_dtype=jnp.float32, track_major=True,
+            )
+
+        args = (fm, sup, coords, w1, b2)
+        # value: quantization-bounded agreement
+        vq = np.asarray(val_pallas(*args))
+        vr = np.asarray(val_xla(*args))
+        rel = np.abs(vq - vr) / (np.abs(vr) + 1e-2)
+        assert np.median(rel) < 0.05, np.median(rel)
+
+        # grads: exact STE — identical to the XLA vjp
+        lp = lambda *a: jnp.sum(val_pallas(*a) * ct_w)
+        lx = lambda *a: jnp.sum(val_xla(*a) * ct_w)
+        gp = jax.grad(lp, argnums=(0, 1, 2, 3, 4))(*args)
+        gx = jax.grad(lx, argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b, name in zip(gp, gx, ["fmaps", "support", "coords", "w1", "b2"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+            )
