@@ -6,10 +6,15 @@ iterations — the quasi-dense joint-tracking workload.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline is measured against A100_REF_PFS — an estimate of the reference
-PyTorch implementation's A100 throughput on the same workload (the reference
-publishes no speed numbers; see BASELINE.md). Refine this constant as real
-measurements land.
+vs_baseline is measured against A100_REF_PFS — a roofline MODEL of the
+reference PyTorch implementation's A100 throughput on the same workload (the
+reference publishes no speed numbers and no A100 exists in this environment).
+Provenance: scripts/a100_model.py — an analytical FLOP model of the reference
+offline forward, validated against torch.profiler's accounting of the actual
+reference model (agrees to 11%, correction applied), divided by documented
+A100-80GB TF32 utilization assumptions per component plus the eager-mode
+HBM traffic of the materialized patch/corr-volume tensors. Output:
+2.48 s/forward => 242,071 pf/s. See BASELINE.md for the full derivation.
 """
 
 import json
@@ -19,9 +24,10 @@ import time
 
 import numpy as np
 
-# Estimated reference (torch/A100) throughput on this workload in
-# points*frames/sec: ~10k pts * 60 frames / ~2.5 s per full 6-iter forward.
-A100_REF_PFS = 240_000.0
+# Modeled reference (torch/A100-80GB, TF32) throughput on this workload in
+# points*frames/sec — derivation in scripts/a100_model.py (run it to
+# reproduce); uncertainty is the utilization assumptions, roughly +-20%.
+A100_REF_PFS = 242_000.0
 
 
 def main():

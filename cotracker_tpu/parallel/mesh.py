@@ -41,8 +41,16 @@ def make_mesh(
 
 
 def replicate(mesh: Mesh, tree):
-    """Fully replicate a pytree (params) over the mesh."""
+    """Fully replicate a pytree (params) over the mesh. Works on multi-host
+    meshes too (every process must hold the same host values)."""
     sharding = NamedSharding(mesh, P())
+    if len(mesh.devices.flatten()) > len(jax.local_devices()):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.device_put(tree, sharding)
 
 
@@ -87,16 +95,23 @@ def track_sharded_forward(model, mesh: Mesh, iters: int = 6):
     )
 
 
+# canonical training-batch partition specs: batch rows over "data", tracks
+# over "track" (shared by sharded_train_step and the multi-host data path)
+BATCH_PSPECS = {
+    "video": P("data", None, None, None, None),
+    "trajs_g": P("data", None, "track", None),
+    "vis_g": P("data", None, "track"),
+    "valids": P("data", None, "track"),
+}
+
+
 def sharded_train_step(step_fn, mesh: Mesh):
     """pjit a train step over the mesh: batch on "data", tracks on "track",
     params/opt-state replicated. Gradient all-reduce over "data" and the
     virtual-track collectives over "track" are inserted by XLA."""
     repl = NamedSharding(mesh, P())
     batch_spec = {
-        "video": NamedSharding(mesh, P("data", None, None, None, None)),
-        "trajs_g": NamedSharding(mesh, P("data", None, "track", None)),
-        "vis_g": NamedSharding(mesh, P("data", None, "track")),
-        "valids": NamedSharding(mesh, P("data", None, "track")),
+        k: NamedSharding(mesh, v) for k, v in BATCH_PSPECS.items()
     }
     return jax.jit(
         step_fn,

@@ -71,6 +71,14 @@ class TrainerArgs:
     # rematerialize update iterations even on the XLA path (activation
     # memory for real shapes; implied by use_pallas_corr)
     remat_iterations: bool = False
+    # multi-host: jax.distributed.initialize before building the mesh; each
+    # host loads batch_size // process_count rows (SURVEY §2.7-1). The
+    # coordinator/process topology comes from args or SLURM env vars
+    # (see parallel/distributed.py).
+    distributed: bool = False
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
 
 
 class Logger:
@@ -172,9 +180,24 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
     from cotracker_tpu.training.train_utils import install_slurm_handlers, run_test_eval
 
     install_slurm_handlers()  # SIGUSR1 requeue / SIGTERM bypass under SLURM
+
+    main_process = True
+    if args.distributed:
+        from cotracker_tpu.parallel import distributed as dist
+
+        pid, n_proc = dist.initialize(
+            coordinator_address=args.coordinator_address or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
+        main_process = pid == 0
+        print(f"distributed: process {pid}/{n_proc}, "
+              f"{jax.local_device_count()} local / {jax.device_count()} global devices")
+
     os.makedirs(args.exp_dir, exist_ok=True)
-    with open(os.path.join(args.exp_dir, "meta.json"), "w") as f:
-        json.dump(asdict(args), f, indent=2)
+    if main_process:
+        with open(os.path.join(args.exp_dir, "meta.json"), "w") as f:
+            json.dump(asdict(args), f, indent=2)
 
     if dataset is None:
         from cotracker_tpu.datasets.kubric import KubricMovifDataset
@@ -227,6 +250,7 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
 
     step_fn = make_train_step(model, tx, cfg)
     n_dev = len(jax.devices())
+    mesh = None
     if n_dev > 1:
         if args.use_pallas_corr:
             # pallas_call is not GSPMD-partitionable: under the sharded jit the
@@ -312,43 +336,75 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
                 filename=f"train_step_{step}", writer=logger.writer, step=step,
             )
 
-    rng_np = np.random.default_rng(args.seed)
+    # per-host data loading: each process draws its own batch rows with a
+    # process-offset RNG (DistributedSampler equivalent, SURVEY §2.7-1)
+    local_batch = args.batch_size
+    if args.distributed:
+        from cotracker_tpu.parallel import distributed as dist
+        from cotracker_tpu.parallel.mesh import BATCH_PSPECS
+
+        n_proc = jax.process_count()
+        assert args.batch_size % n_proc == 0, (
+            f"global batch {args.batch_size} does not divide over {n_proc} hosts"
+        )
+        local_batch = args.batch_size // n_proc
+    rng_np = np.random.default_rng(
+        args.seed + (jax.process_index() * 7919 if args.distributed else 0)
+    )
     loader = PrefetchLoader(
         RepeatedDataset(dataset, args.dataset_repeats) if args.dataset_repeats > 1 else dataset,
-        args.batch_size,
+        local_batch,
         rng_np,
         num_workers=args.num_loader_workers,
         prefetch=args.loader_prefetch,
     )
     key = jax.random.PRNGKey(args.seed)
 
-    if args.evaluate_at_start and step0 == 0:
+    if main_process and args.evaluate_at_start and step0 == 0:
         run_eval(params, 0)
 
     t_start = time.time()
     try:
         for step in range(step0, args.num_steps):
             batch_np = next(loader)
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            if args.distributed:
+                batch = dist.global_batch(mesh, dict(BATCH_PSPECS), batch_np)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             key, sub = jax.random.split(key)
             params, opt_state, aux = step_fn(params, opt_state, sub, batch)
-            logger.push({k: v for k, v in aux.items()}, step)
+            if main_process:
+                logger.push({k: v for k, v in aux.items()}, step)
 
-            if args.save_every_n_steps and (step + 1) % args.save_every_n_steps == 0:
+            if main_process and args.save_every_n_steps and (
+                (step + 1) % args.save_every_n_steps == 0
+            ):
                 save_checkpoint(
                     os.path.join(ckpt_dir, f"model_{step + 1:09d}.pkl"), params, opt_state, step + 1
                 )
-            if args.eval_every_n_steps and (step + 1) % args.eval_every_n_steps == 0:
+            if main_process and args.eval_every_n_steps and (
+                (step + 1) % args.eval_every_n_steps == 0
+            ):
                 run_eval(params, step + 1)
-            if vis_hook is not None and args.save_vis_every_n_steps and (
+            if main_process and vis_hook is not None and args.save_vis_every_n_steps and (
                 (step + 1) % args.save_vis_every_n_steps == 0
             ):
-                vis_hook(params, batch, step + 1)
+                # in distributed mode hand the hook this host's local rows —
+                # global sharded arrays are not addressable from one process
+                vis_hook(
+                    params,
+                    batch if not args.distributed
+                    else {k: jnp.asarray(v) for k, v in batch_np.items()},
+                    step + 1,
+                )
     finally:
         loader.close()
-    save_checkpoint(os.path.join(ckpt_dir, "model_final.pkl"), params, opt_state, args.num_steps)
-    if eval_hook is not None and args.eval_every_n_steps:
-        run_eval(params, args.num_steps)
+    if main_process:
+        save_checkpoint(
+            os.path.join(ckpt_dir, "model_final.pkl"), params, opt_state, args.num_steps
+        )
+        if eval_hook is not None and args.eval_every_n_steps:
+            run_eval(params, args.num_steps)
     print(f"training done in {time.time() - t_start:.0f}s")
     return params
 
