@@ -279,10 +279,17 @@ def fused_corr_embs_pallas(
         # natively s8 x s8 -> s32 on the MXU, skipping the int8->bf16 convert
         # of the (8, T*8, C) window slab. Per-point dynamic scale; the 1/128
         # window scale and this scale both fold into the epilogue dequant.
-        sup32 = support.astype(jnp.float32)
-        amax = jnp.maximum(jnp.max(jnp.abs(sup32), axis=(2, 3)), 1e-20)  # (B, N)
+        # quantize WITHOUT materializing an f32 copy of the support tensor:
+        # the abs-max is a fused reduction and the round lands directly in
+        # int8 (at quasi-dense N the f32 intermediate is 1.65 GB per level
+        # and was the OOM driver on 16 GB chips)
+        amax = jnp.maximum(
+            jnp.max(jnp.abs(support.astype(jnp.float32)), axis=(2, 3)), 1e-20
+        )  # (B, N)
         sup_scale = amax * (1.0 / 127.0 / 128.0)
-        support = jnp.round(sup32 * (127.0 / amax[..., None, None]))
+        support = jnp.round(
+            support.astype(jnp.float32) * (127.0 / amax[..., None, None])
+        ).astype(jnp.int8)
     wsx, wsy, wx, wy = window_starts_and_weights(coords, radius, H, W)  # (B, T, N)
 
     # per-(point, frame) DMA descriptors: flat (shift-copy, frame) index +
@@ -397,14 +404,38 @@ def fused_corr_embs_pallas(
         if fuse_combine:
             # kernel already emitted the exact combined volume; lanes
             # r = t*64 + y*8 + x with garbage at x==7 / y==7 (roll wrap)
-            # and t >= T (frame padding), all sliced away here.
-            c = g.reshape(B, n, S, Tp, WIN, WIN)[:, :, :, :T, :P, :P]
-            h = jnp.einsum(
-                f"bnstji,ijsk->{lhs}", c, w1r, preferred_element_type=F32
-            )
+            # and t >= T (frame padding).
             if gscale is not None:
-                sc = gscale[:, :, None, None] if track_major else gscale[:, None, :, None]
-                h = h * sc
+                # int8 volume -> native s8 x s8 -> s32 MLP1: instead of
+                # slicing the garbage lanes (a strided minor-dim read XLA
+                # pays a relayout copy for), pad W1 to the full (8, 8, S)
+                # window with zeros at x==7 / y==7 — the garbage contributes
+                # exactly 0 in integer math — and quantize it per output
+                # channel. Dequant (per-point volume scale x per-channel
+                # weight scale) rides the f32 bias add.
+                c = g.reshape(B, n, S, Tp, WIN, WIN)
+                w1p = jnp.zeros((WIN, WIN, S, w1r.shape[-1]), F32)
+                w1p = w1p.at[:P, :P].set(w1r.astype(F32))
+                w1amax = jnp.maximum(jnp.max(jnp.abs(w1p), axis=(0, 1, 2)), 1e-20)
+                w1q = jnp.round(w1p * (127.0 / w1amax)).astype(jnp.int8)
+                h32 = jnp.einsum(
+                    f"bnstji,ijsk->{lhs}", c, w1q,
+                    preferred_element_type=jnp.int32,
+                )  # t axis is Tp (padded) here
+                sc = (
+                    gscale[:, :, None, None]
+                    if track_major
+                    else gscale[:, None, :, None]
+                )
+                h = h32.astype(F32) * (sc * (w1amax * (1.0 / 127.0)))
+                h = (
+                    h[:, :, :T] if track_major else h[:, :T]
+                )  # drop frame padding (major dim, cheap)
+            else:
+                c = g.reshape(B, n, S, Tp, WIN, WIN)[:, :, :, :T, :P, :P]
+                h = jnp.einsum(
+                    f"bnstji,ijsk->{lhs}", c, w1r, preferred_element_type=F32
+                )
             h = h.astype(cd) + b1.astype(cd)
             h = jax.nn.gelu(h, approximate=False)
             return jnp.einsum(

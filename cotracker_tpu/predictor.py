@@ -356,7 +356,10 @@ class CoTrackerOnlinePredictor:
                     method=model_cls.online_step,
                 )
 
-            self._jit_step = jax.jit(step_fn)
+            # donate the streaming state: its per-level track-support buffers
+            # are the dominant allocation at quasi-dense N (3.5 GB at 70k
+            # tracks) and the new state aliases them in place
+            self._jit_step = jax.jit(step_fn, donate_argnums=(1,))
 
         ind_before = int(self._state.ind)
         if ind_before + S > self.capacity:

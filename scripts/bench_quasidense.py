@@ -1,0 +1,95 @@
+"""Quasi-dense joint tracking: 265x265 (= 70,225) points (BASELINE config 3,
+reference README.md:38 capacity claim).
+
+At T=60 offline the (B, N, T, 1110) token tensor alone would be ~9.4 GB in
+bf16 — the reference itself can only hold this workload with the ONLINE
+(window-16) model, and so do we on a 16 GB chip: this benchmark drives the
+online predictor with a 265x265 masked grid through a sliding-window stream
+at 384x512 and reports points*frames/s plus peak device memory.
+
+Run on the real TPU: python scripts/bench_quasidense.py [--frames 32]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--grid", type=int, default=265)
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--fast", action="store_true", default=True)
+    p.add_argument("--no-fast", dest="fast", action="store_false")
+    args = p.parse_args()
+
+    import jax
+    from cotracker_tpu.predictor import CoTrackerOnlinePredictor
+    from cotracker_tpu.ops.samplers import get_points_on_a_grid
+
+    T = args.frames
+    H, W = 384, 512
+    rng = np.random.default_rng(0)
+    video = (rng.random((1, T, 3, H, W)) * 255).astype(np.float32)
+
+    pred = CoTrackerOnlinePredictor(
+        window_len=16, capacity=max(64, T + 16), fast=args.fast
+    )
+    grid = np.asarray(get_points_on_a_grid(args.grid, (H, W)))  # (1, grid^2, 2)
+    queries = np.concatenate(
+        [np.zeros_like(grid[:, :, :1]), grid], axis=2
+    ).astype(np.float32)
+    N = queries.shape[1]
+    print(f"tracking {N} points ({args.grid}x{args.grid}) through {T} frames")
+
+    pred(video[:, :1], is_first_step=True, queries=queries)
+    step = pred.step
+
+    # first window: compile
+    t0 = time.time()
+    tracks, vis = pred(video[:, 0 : 2 * step])
+    jax.block_until_ready(tracks)
+    print(f"first window (compile): {time.time() - t0:.1f}s")
+
+    windows = 0
+    t0 = time.time()
+    for ind in range(step, T - step, step):
+        tracks, vis = pred(video[:, ind : ind + 2 * step])
+        windows += 1
+    jax.block_until_ready(tracks)
+    dt = time.time() - t0
+    frames = windows * step
+    pfs = N * frames / dt
+
+    mem = {}
+    try:
+        stats = jax.devices()[0].memory_stats()
+        mem = {
+            "peak_bytes_in_use_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 2),
+            "bytes_limit_gb": round(stats.get("bytes_limit", 0) / 2**30, 2),
+        }
+    except Exception:
+        pass
+
+    out = {
+        "metric": "quasidense_points_frames_per_sec",
+        "grid": f"{args.grid}x{args.grid}",
+        "points": int(N),
+        "frames_timed": int(frames),
+        "seconds": round(dt, 3),
+        "value": round(pfs, 1),
+        "unit": "points*frames/s",
+        **mem,
+    }
+    print(json.dumps(out))
+    assert np.isfinite(np.asarray(tracks)).all()
+
+
+if __name__ == "__main__":
+    main()

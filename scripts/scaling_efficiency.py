@@ -112,6 +112,12 @@ def main():
 
     n = len(jax.devices())
     counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n]
+    if args.mechanics:
+        # virtual-device run: validate mesh mechanics at minimal cost
+        args.H = args.W = 48
+        args.tracks_per_shard = 32
+        args.steps = 1
+        counts = [c for c in (1, n) if c <= n]
     rows = [bench_mesh(c, args) for c in counts]
     base = rows[0]["pf_per_s"]
     for r in rows:
