@@ -59,6 +59,12 @@ def main():
         # corr kernel (exact 1/128-scale dequant; <=0.4% feature quantization
         # on the L2-normalized maps)
         corr_quant_int8=on_tpu,
+        # in-kernel bilinear combine + s8 MLP1 epilogue (~2 ms/level-iter
+        # over the XLA combine; scripts/bench_corr_variants.py)
+        corr_fuse_combine=on_tpu,
+        # fold the updateformer input projection into the corr epilogues —
+        # kills the (B,N,T,1024/1110) concats + 1110-wide projection pass
+        fold_input_proj=on_tpu and not os.environ.get("BENCH_NO_FOLD"),
         use_pallas_attn=on_tpu,
         # fused W8A8 block bodies in the updateformer (LN+qkv, out+MLP):
         # the s8 MXU path runs ~2x bf16 on this chip (scripts/ubench.py int8).

@@ -51,8 +51,8 @@ def build_cotracker(
             window_len = 60 if offline else 16
         fast_kw = dict(
             dtype=jnp.bfloat16, corr_chunk=2048,
-            use_pallas_corr=True, corr_quant_int8=True, use_pallas_attn=True,
-            attn_quant_int8=True,
+            use_pallas_corr=True, corr_quant_int8=True, corr_fuse_combine=True,
+            fold_input_proj=True, use_pallas_attn=True, attn_quant_int8=True,
         ) if fast else dict(dtype=dtype)
         model = CoTrackerThree(
             window_len=window_len, model_resolution=model_resolution, **fast_kw

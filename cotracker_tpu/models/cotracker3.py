@@ -101,16 +101,59 @@ class CorrFeaturizer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     quant_int8: bool = False  # int8 window transfer (see corr_pallas)
+    # in-kernel bilinear combine + s8 MLP1 epilogue (inference path only;
+    # measured ~2 ms/level-iter faster than the 4-term XLA combine on v5e)
+    fuse_combine: bool = False
     interpret: bool = False  # Pallas interpret mode (CPU tests)
 
     @nn.compact
-    def __call__(self, fmaps, support, coords):
+    def __call__(
+        self,
+        fmaps,
+        support,
+        coords,
+        fold_matrix=None,
+        all_levels=False,
+        extra_ops=(),
+        extra_fn=None,
+    ):
+        """fold_matrix: optional (out, D) f32 — fold a downstream linear map
+        into the correlation MLP's second layer (w2 @ fold, b2 @ fold), so
+        the embedding never materializes in its `out`-dim form. Used by
+        IterationCore.fold_input_proj to absorb the updateformer input
+        projection's per-level slice (pure reassociation of two matmuls).
+
+        all_levels: fmaps/support/fold_matrix are PER-LEVEL lists (fmaps
+        prepacked, coords in level-0 units) — runs the whole pyramid through
+        ONE chunk loop (corr_pallas.fused_corr_tokens_pallas), summing the
+        folded token contributions in-chunk plus extra_fn(*extra_ops chunk)
+        for the caller's non-correlation token terms. Pallas path only."""
         P = 2 * self.radius + 1
         d = P * P * P * P
         w1 = self.param("fc1_kernel", nn.initializers.xavier_uniform(), (d, self.hidden))
         b1 = self.param("fc1_bias", nn.initializers.zeros_init(), (self.hidden,))
         w2 = self.param("fc2_kernel", nn.initializers.xavier_uniform(), (self.hidden, self.out))
         b2 = self.param("fc2_bias", nn.initializers.zeros_init(), (self.out,))
+        if all_levels:
+            assert self.use_pallas and fold_matrix is not None
+            from cotracker_tpu.ops.kernels.corr_pallas import (
+                fused_corr_tokens_pallas,
+            )
+
+            f32 = jnp.float32
+            w2f = [w2.astype(f32) @ m.astype(f32) for m in fold_matrix]
+            b2f_sum = b2.astype(f32) @ sum(m.astype(f32) for m in fold_matrix)
+            return fused_corr_tokens_pallas(
+                fmaps, support, coords, w1, b1, w2f, b2f_sum,
+                radius=self.radius, chunk=self.chunk,
+                compute_dtype=self.dtype, interpret=self.interpret,
+                quant_int8=self.quant_int8, fuse_combine=self.fuse_combine,
+                extra_ops=extra_ops, extra_fn=extra_fn,
+            )
+        if fold_matrix is not None:
+            f32 = jnp.float32
+            w2 = w2.astype(f32) @ fold_matrix.astype(f32)
+            b2 = b2.astype(f32) @ fold_matrix.astype(f32)
         if self.use_pallas:
             # fmaps arrive prepacked (8 x-shifted padded copies) — built once
             # per forward in CoTrackerThree.iterate, outside the update scan.
@@ -134,7 +177,8 @@ class CorrFeaturizer(nn.Module):
                 fmaps, support, coords, w1, b1, w2, b2,
                 radius=self.radius, chunk=self.chunk, compute_dtype=self.dtype,
                 prepacked=(fmaps.ndim == 4), track_major=True,
-                quant_int8=self.quant_int8, interpret=self.interpret,
+                quant_int8=self.quant_int8, fuse_combine=self.fuse_combine,
+                interpret=self.interpret,
             )
         return fused_corr_embs(
             fmaps, support, coords, w1, b1, w2, b2,
@@ -167,14 +211,23 @@ class IterationCore(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_corr: bool = False
     corr_quant_int8: bool = False
+    corr_fuse_combine: bool = False
     corr_pallas_interpret: bool = False
     use_pallas_attn: bool = False
     attn_quant_int8: bool = False
+    # fold the updateformer input projection into the correlation epilogue:
+    # token = sum_lvl gelu(h_lvl) @ (w2 @ Win[lvl rows]) + small terms, so
+    # the (B,N,T,1024) corr-emb concat, the (B,N,T,1110) input concat, and
+    # the 1110-wide projection read never touch HBM (~5 GB/iter at the bench
+    # shape). Pure matmul reassociation — same math as the reference's
+    # concat + Linear (cotracker3_online.py:207-230 + cotracker.py:460).
+    fold_input_proj: bool = False
 
     def setup(self):
         self.corr_mlp = CorrFeaturizer(
             radius=self.corr_radius, chunk=self.corr_chunk, dtype=self.dtype,
             use_pallas=self.use_pallas_corr, quant_int8=self.corr_quant_int8,
+            fuse_combine=self.corr_fuse_combine,
             interpret=self.corr_pallas_interpret,
             name="corr_mlp"
         )
@@ -204,40 +257,116 @@ class IterationCore(nn.Module):
             / self.stride
         )
 
-        # the transformer input is assembled TRACK-MAJOR (B, N, T, ·): the
-        # correlation featurizers emit that layout directly (the swap rides
-        # their MLP einsums) and the remaining pieces are built from tiny
-        # tensors, so the O(T*N*1110) relayout the reference's token build
-        # implies never happens.
-        corr_embs = []
-        for i in range(self.corr_levels):
-            # support comes in as (B, P*P, N, C); the fused op wants (B, N, P*P, C)
-            sup = support_pyramid[i].transpose(0, 2, 1, 3)
-            corr_embs.append(
-                self.corr_mlp(fmaps_pyramid[i], sup, coords.astype(self.dtype) / 2**i)
-            )
-        corr_embs = jnp.concatenate(corr_embs, axis=-1)  # (B, N, T, 1024)
-
         coords_nt = coords.transpose(0, 2, 1, 3)  # (B, N, T, 2) — tiny
         rel_fwd = jnp.pad(coords_nt[:, :, :-1] - coords_nt[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
         rel_bwd = jnp.pad(coords_nt[:, :, 1:] - coords_nt[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0)))
         rel = jnp.concatenate([rel_fwd / scale, rel_bwd / scale], axis=-1)
         rel_emb = posenc(rel, min_deg=0, max_deg=10)  # (B, N, T, 84)
 
-        x = jnp.concatenate(
-            [
-                vis.transpose(0, 2, 1)[..., None].astype(self.dtype),
-                conf.transpose(0, 2, 1)[..., None].astype(self.dtype),
-                corr_embs,
-                rel_emb.astype(self.dtype),
-            ],
-            axis=-1,
-        )  # (B, N, T, 1110)
-        x = x + time_emb[:, None, :, :].astype(self.dtype)
+        # the transformer input is assembled TRACK-MAJOR (B, N, T, ·): the
+        # correlation featurizers emit that layout directly (the swap rides
+        # their MLP einsums) and the remaining pieces are built from tiny
+        # tensors, so the O(T*N*1110) relayout the reference's token build
+        # implies never happens.
+        if self.fold_input_proj:
+            # absorb the input projection into the per-level correlation
+            # epilogues: each level emits its 384-d token CONTRIBUTION
+            # (gelu(h) @ w2 @ Win_slice); the 1024-d concat, the 1110-d
+            # input tensor, and the separate projection pass all vanish.
+            # Input layout (1110 rows of Win): [vis, conf, corr x1024, rel x84]
+            kin = self.updateformer.input_transform.kernel.astype(jnp.float32)
+            bin_ = self.updateformer.input_transform.bias.astype(jnp.float32)
+            D = self.corr_mlp.out  # 256-d embedding per level
+            cd = self.dtype
+            slices = [kin[2 + D * i : 2 + D * (i + 1)] for i in range(self.corr_levels)]
+            krel = kin[2 + D * self.corr_levels :]
+            time_proj = time_emb[:, None].astype(jnp.float32) @ kin  # (1,1,T,Dtok)
+            pallas_inference = self.use_pallas_corr and not isinstance(
+                fmaps_pyramid[0], (tuple, list)
+            )
+            if pallas_inference:
+                # single chunk loop over all levels: per chunk the window
+                # kernels + MLP1 + folded projections + the small terms all
+                # accumulate before anything returns to HBM
+                sup_list = [
+                    s.transpose(0, 2, 1, 3) for s in support_pyramid
+                ]
 
-        delta = self.updateformer(
-            x, track_mask=track_mask, add_space_attn=self.add_space_attn
-        ).astype(jnp.float32)
+                def extra_fn(vis_c, conf_c, rel_c):
+                    # non-correlation token terms, per chunk: rank-1 logit
+                    # rows, the 84-d rel-emb matmul, projected time
+                    # embedding, input bias
+                    remb = posenc(rel_c, min_deg=0, max_deg=10)
+                    return (
+                        vis_c[..., None].astype(jnp.float32) * kin[0]
+                        + conf_c[..., None].astype(jnp.float32) * kin[1]
+                        + jnp.einsum(
+                            "bntr,rk->bntk", remb.astype(cd), krel.astype(cd),
+                            preferred_element_type=jnp.float32,
+                        )
+                        + time_proj
+                        + bin_
+                    )
+
+                x = self.corr_mlp(
+                    list(fmaps_pyramid), sup_list, coords.astype(cd),
+                    fold_matrix=slices, all_levels=True,
+                    extra_ops=(
+                        vis.transpose(0, 2, 1),
+                        conf.transpose(0, 2, 1),
+                        rel,
+                    ),
+                    extra_fn=extra_fn,
+                )
+            else:
+                x = None
+                for i in range(self.corr_levels):
+                    sup = support_pyramid[i].transpose(0, 2, 1, 3)
+                    contrib = self.corr_mlp(
+                        fmaps_pyramid[i], sup, coords.astype(cd) / 2**i,
+                        fold_matrix=slices[i],
+                    )
+                    x = contrib if x is None else x + contrib
+                # the small terms ride one fused elementwise pass
+                small = (
+                    vis.transpose(0, 2, 1)[..., None].astype(jnp.float32) * kin[0]
+                    + conf.transpose(0, 2, 1)[..., None].astype(jnp.float32) * kin[1]
+                    + jnp.einsum(
+                        "bntr,rk->bntk", rel_emb.astype(cd), krel.astype(cd),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + time_proj[:, 0]
+                    + bin_
+                )
+                x = x + small.astype(cd)
+            delta = self.updateformer(
+                x, track_mask=track_mask, add_space_attn=self.add_space_attn,
+                x_is_tokens=True,
+            ).astype(jnp.float32)
+        else:
+            corr_embs = []
+            for i in range(self.corr_levels):
+                # support comes in as (B, P*P, N, C); the fused op wants (B, N, P*P, C)
+                sup = support_pyramid[i].transpose(0, 2, 1, 3)
+                corr_embs.append(
+                    self.corr_mlp(fmaps_pyramid[i], sup, coords.astype(self.dtype) / 2**i)
+                )
+            corr_embs = jnp.concatenate(corr_embs, axis=-1)  # (B, N, T, 1024)
+
+            x = jnp.concatenate(
+                [
+                    vis.transpose(0, 2, 1)[..., None].astype(self.dtype),
+                    conf.transpose(0, 2, 1)[..., None].astype(self.dtype),
+                    corr_embs,
+                    rel_emb.astype(self.dtype),
+                ],
+                axis=-1,
+            )  # (B, N, T, 1110)
+            x = x + time_emb[:, None, :, :].astype(self.dtype)
+
+            delta = self.updateformer(
+                x, track_mask=track_mask, add_space_attn=self.add_space_attn
+            ).astype(jnp.float32)
         delta = delta.transpose(0, 2, 1, 3)  # (B, T, N, 4)
 
         coords = coords + delta[..., :2]
@@ -282,6 +411,13 @@ class CoTrackerThree(nn.Module):
     # bytes that bound the corr kernel; exact to ~0.4% on the L2-normalized
     # feature maps). Only meaningful with use_pallas_corr.
     corr_quant_int8: bool = False
+    # in-kernel bilinear combine (pltpu.roll) + native s8xs8->s32 MLP1
+    # epilogue — inference-only refinement of the int8 path (corr_pallas.py
+    # fuse_combine); ignored on the corr_pallas_grad training path
+    corr_fuse_combine: bool = False
+    # fold the updateformer input projection into the correlation epilogue
+    # (see IterationCore.fold_input_proj) — inference fast path
+    fold_input_proj: bool = False
     # run the updateformer time-attention core as a Pallas TPU kernel
     use_pallas_attn: bool = False
     # run the updateformer block bodies (qkv/out projections + MLPs) as
@@ -328,9 +464,11 @@ class CoTrackerThree(nn.Module):
             dtype=self.dtype,
             use_pallas_corr=self.use_pallas_corr,
             corr_quant_int8=self.corr_quant_int8,
+            corr_fuse_combine=self.corr_fuse_combine,
             corr_pallas_interpret=self.corr_pallas_interpret,
             use_pallas_attn=self.use_pallas_attn,
             attn_quant_int8=self.attn_quant_int8,
+            fold_input_proj=self.fold_input_proj,
             name="iter_core",
         )
         # Deterministic sincos time embedding over the trained window length
@@ -384,8 +522,11 @@ class CoTrackerThree(nn.Module):
             f, s = get_track_feat(
                 fmaps, queried_frames, queried_coords / 2**i, self.corr_radius
             )
-            feats.append(f)
-            supports.append(s)
+            # the bilinear blend promotes bf16 fmaps x f32 weights to f32 —
+            # pin support back to the compute dtype or every downstream
+            # masked copy is f32 (1.65 GB/level at quasi-dense N)
+            feats.append(f.astype(self.dtype))
+            supports.append(s.astype(self.dtype))
         return feats, supports
 
     # ---------------------------------------------------------------- updates
@@ -736,6 +877,12 @@ class CoTrackerThree(nn.Module):
                 queried_coords / 2**i,
                 self.corr_radius,
             )
+            # keep the streaming state in compute dtype: the bilinear blend
+            # promotes to f32, which would flip the carry dtype (recompile)
+            # and make every support temp f32 (the quasi-dense OOM driver) —
+            # cast BEFORE the mask multiply so no f32 full-size temp exists
+            f = f.astype(self.dtype)
+            s = s.astype(self.dtype)
             new_feat.append(state.track_feat[i] + f * sample_mask)
             new_support.append(state.track_support[i] + s * sample_mask)
 
@@ -770,12 +917,14 @@ class CoTrackerThree(nn.Module):
             warm_all(),
         )
 
-        # mask support feats of tracks that haven't been queried yet
-        # (reference cotracker3_online.py:484-496)
-        active = (queried_frames < (ind + S).astype(jnp.float32))  # (B, N)
-        support_pyramid = [
-            s * active[:, None, :, None].astype(s.dtype) for s in new_support
-        ]
+        # tracks that haven't been queried yet: the reference defensively
+        # zeroes their support (cotracker3_online.py:484-496), but on this
+        # streaming path the multiply is a numeric NO-OP — sample_mask only
+        # ever accumulates a query's support once its window has arrived,
+        # i.e. exactly when queried_frames < ind + S, so support is already
+        # zero wherever `active` is False. Skipping it avoids 4 full-size
+        # masked copies per step (3.3 GB at quasi-dense N).
+        support_pyramid = list(new_support)
 
         coord_preds, vis_preds, conf_preds = self.iterate(
             fmaps_pyramid,

@@ -21,7 +21,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
-from cotracker_tpu.models.blocks import AttnBlock, CrossAttnBlock
+from cotracker_tpu.models.blocks import AttnBlock, CrossAttnBlock, Dense
 
 
 class EfficientUpdateFormer(nn.Module):
@@ -43,20 +43,37 @@ class EfficientUpdateFormer(nn.Module):
     # (masked queries degrade to the uniform average of the virtual values).
     v2_masking: bool = False
 
+    def setup(self):
+        # declared as a param-explicit Dense (same tree path/init as the old
+        # inline nn.Dense) so IterationCore's fold_input_proj fast path can
+        # read .kernel/.bias and fold the projection into the correlation
+        # epilogue — see cotracker3.IterationCore
+        self.input_transform = Dense(
+            self.hidden_size, self.input_dim, dtype=self.dtype
+        )
+
     @nn.compact
-    def __call__(self, x, track_mask: Optional[jnp.ndarray] = None, add_space_attn: bool = True):
+    def __call__(
+        self,
+        x,
+        track_mask: Optional[jnp.ndarray] = None,
+        add_space_attn: bool = True,
+        x_is_tokens: bool = False,
+    ):
         """x: (B, N, T, input_dim) -> (B, N, T, output_dim).
 
         track_mask: optional (B, N) bool, True = real track. Padded tracks are
         excluded as keys of the virtual<-points attention so that padding N to
         a static shape (or sharding N) never changes real-track outputs.
+        x_is_tokens: x is already projected to hidden_size (the caller folded
+        input_transform into its own epilogue); skip the input projection.
         """
         B, N, T, _ = x.shape
         V = self.num_virtual_tracks
         C = self.hidden_size
         dim_head = self.hidden_size // self.num_heads
 
-        tokens = nn.Dense(self.hidden_size, dtype=self.dtype, name="input_transform")(x)
+        tokens = x if x_is_tokens else self.input_transform(x)
         virtual = self.param(
             "virtual_tracks",
             nn.initializers.normal(stddev=1.0),

@@ -226,16 +226,13 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
         out_ref[0] = g.astype(out_dtype)
 
 
-def fused_corr_embs_pallas(
+def _corr_level_plan(
     fmaps,
     support,
     coords,
     w1,
     b1,
-    w2,
-    b2,
     radius: int = 3,
-    chunk=None,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     prepacked: bool = False,
@@ -243,19 +240,15 @@ def fused_corr_embs_pallas(
     quant_int8: bool = False,
     fuse_combine: bool = False,
 ):
-    """Same contract as ops.corr.fused_corr_embs, hot path as a Pallas kernel.
+    """Prepare one pyramid level's per-point operands and its chunk body.
 
-    fmaps (B, T, H, W, C) — or, with prepacked=True, the output of
-    build_shifted_fmaps (K*B*T, H+2p, W+2p, C), letting callers hoist the
-    padded-copies build out of an update-iteration scan.
-    support (B, N, P*P, C); coords (B, T, N, 2); chunk bounds the transient
-    (n, 49, 8*T*8) correlation block over N. Returns (B, T, N, Do), or
-    (B, N, T, Do) with track_major=True (the layout rides the MLP einsum).
-
-    quant_int8: window data moves through HBM as int8 (see
-    build_shifted_fmaps) — halves the scattered-DMA bytes that bound this
-    kernel. Windows carry clip(round(f*128), -127, 127); the exact 1/128
-    dequant scale is folded into the support operand before the contraction.
+    Returns (ops, hidden): `ops` is a tuple of (B, N, ...) arrays whose N
+    axis the caller may chunk; `hidden(*ops_chunk)` runs the Pallas window
+    kernel + the first correlation-MLP layer + GELU for those points,
+    returning h as (B, n, T, Dh) [track_major] or (B, T, n, Dh). The second
+    MLP layer stays with the caller: fused_corr_embs_pallas applies the
+    plain (w2, b2); fused_corr_tokens_pallas applies a per-level FOLDED
+    projection and sums levels inside one chunk loop.
     """
     P = 2 * radius + 1
     WIN = P + 1
@@ -272,24 +265,15 @@ def fused_corr_embs_pallas(
         B, T, H, W, C = fmaps.shape
         fmaps_p = build_shifted_fmaps(fmaps, radius, compute_dtype, quant_int8=quant_int8)
         Hp, Wp = H + 2 * pad, W + 2 * pad
-    sup_scale = None
     if quant_int8:
         assert fmaps_p.dtype == jnp.int8, fmaps_p.dtype
-        # quantize the support patches too: the kernel contraction then runs
-        # natively s8 x s8 -> s32 on the MXU, skipping the int8->bf16 convert
-        # of the (8, T*8, C) window slab. Per-point dynamic scale; the 1/128
-        # window scale and this scale both fold into the epilogue dequant.
-        # quantize WITHOUT materializing an f32 copy of the support tensor:
-        # the abs-max is a fused reduction and the round lands directly in
-        # int8 (at quasi-dense N the f32 intermediate is 1.65 GB per level
-        # and was the OOM driver on 16 GB chips)
-        amax = jnp.maximum(
-            jnp.max(jnp.abs(support.astype(jnp.float32)), axis=(2, 3)), 1e-20
-        )  # (B, N)
-        sup_scale = amax * (1.0 / 127.0 / 128.0)
-        support = jnp.round(
-            support.astype(jnp.float32) * (127.0 / amax[..., None, None])
-        ).astype(jnp.int8)
+        # the support patches are quantized too — but PER CHUNK inside
+        # hidden(), never at full N: any full-size staging of the quantize
+        # (f32 scale product or even the int8 result) is a 0.4-1.65 GB temp
+        # per level at quasi-dense N=70k, and XLA's fusion choices around
+        # the (B,S,N,C)->(B,N,S,C) relayout made several of them live at
+        # once (the 16 GB OOM driver). In-chunk the temp is ~50 MB.
+        support = support.astype(compute_dtype)
     wsx, wsy, wx, wy = window_starts_and_weights(coords, radius, H, W)  # (B, T, N)
 
     # per-(point, frame) DMA descriptors: flat (shift-copy, frame) index +
@@ -313,7 +297,7 @@ def fused_corr_embs_pallas(
 
     cd = compute_dtype
     starts = starts.reshape(B, N, Tp, 3)
-    sup = support.astype(jnp.int8 if quant_int8 else cd)  # (B, N, S, C)
+    sup = support.astype(cd)  # (B, N, S, C)
     wxn = wx.transpose(0, 2, 1)  # (B, N, T)
     wyn = wy.transpose(0, 2, 1)
     w1r = w1.reshape(P, P, S, -1).astype(cd)  # (i, j, s, Dh): d = i*P*S + j*S + s
@@ -325,12 +309,26 @@ def fused_corr_embs_pallas(
         shifts=shifts, compute_dtype=cd, g_int8=quant_int8,
         fuse_combine=fuse_combine,
     )
+    lhs = "bntk" if track_major else "btnk"
 
-    def run(starts_c, sup_c, wx_c, wy_c, sup_scale_c=None):
-        # starts_c (B, n, Tp, 3); sup_c (B, n, S, C); wx_c/wy_c (B, n, T);
-        # sup_scale_c (B, n) per-point support dequant scale (quant path)
+    def hidden(starts_c, sup_c, wx_c, wy_c):
+        # starts_c (B, n, Tp, 3); sup_c (B, n, S, C); wx_c/wy_c (B, n, T)
         n = starts_c.shape[1]
         NP = B * n
+        sup_scale_c = None
+        if quant_int8:
+            # per-point dynamic support quantization, in-chunk (see prep
+            # comment): the contraction runs natively s8 x s8 -> s32 on the
+            # MXU; the 1/128 window scale and this per-point scale both fold
+            # into the epilogue dequant. |x| and max of bf16 values are
+            # exact, so reducing in the source dtype loses nothing.
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(sup_c), axis=(2, 3)).astype(F32), 1e-20
+            )  # (B, n)
+            sup_scale_c = amax * (1.0 / 127.0 / 128.0)
+            sup_c = jnp.round(
+                sup_c.astype(F32) * (127.0 / amax[..., None, None])
+            ).astype(jnp.int8)
         if quant_int8:
             out_shape = [
                 jax.ShapeDtypeStruct((NP, S, R), jnp.int8),
@@ -399,8 +397,6 @@ def fused_corr_embs_pallas(
             gscale = gscale.reshape(B, n)  # (1, NP) row-major == (B, n)
             gscale = gscale * sup_scale_c
 
-        lhs = "bntk" if track_major else "btnk"
-        out_sub = "bnto" if track_major else "btno"
         if fuse_combine:
             # kernel already emitted the exact combined volume; lanes
             # r = t*64 + y*8 + x with garbage at x==7 / y==7 (roll wrap)
@@ -437,11 +433,7 @@ def fused_corr_embs_pallas(
                     f"bnstji,ijsk->{lhs}", c, w1r, preferred_element_type=F32
                 )
             h = h.astype(cd) + b1.astype(cd)
-            h = jax.nn.gelu(h, approximate=False)
-            return jnp.einsum(
-                f"{lhs},ko->{out_sub}", h, w2.astype(cd),
-                preferred_element_type=F32,
-            ).astype(cd) + b2.astype(cd)
+            return jax.nn.gelu(h, approximate=False)
 
         # XLA epilogue: bilinear combine (4 weighted slice-adds) + corr MLP.
         # g lanes index r = a*(Tp*WIN) + t*WIN + b with a=y, b=x.
@@ -469,35 +461,152 @@ def fused_corr_embs_pallas(
         h = jnp.einsum(
             f"bnsjti,ijsk->{lhs}", corr, w1r, preferred_element_type=F32
         ).astype(cd) + b1.astype(cd)
-        h = jax.nn.gelu(h, approximate=False)
-        return jnp.einsum(
-            f"{lhs},ko->{out_sub}", h, w2.astype(cd), preferred_element_type=F32
-        ).astype(cd) + b2.astype(cd)
+        return jax.nn.gelu(h, approximate=False)
 
-    if sup_scale is None:
-        sup_scale = jnp.ones((B, N), F32)  # unused on the non-quant path
+    return (starts, sup, wxn, wyn), hidden
+
+
+def _chunked_over_points(run, ops, B, N, chunk, track_major):
+    """lax.map driver over N-chunks. run(ops_chunk_tuple) -> (B, n, T, Do)
+    [track_major] or (B, T, n, Do); stitches chunks back to full N."""
     if chunk is None or chunk >= N:
-        return run(starts, sup, wxn, wyn, sup_scale)
+        return run(ops)
 
     K = -(-N // chunk)
     padn = K * chunk - N
     if padn:
         pad_n = lambda a: jnp.pad(a, ((0, 0), (0, padn)) + ((0, 0),) * (a.ndim - 2))
-        starts, sup, wxn, wyn, sup_scale = map(
-            pad_n, (starts, sup, wxn, wyn, sup_scale)
-        )
+        ops = tuple(map(pad_n, ops))
     split = lambda a: a.reshape((B, K, chunk) + a.shape[2:]).transpose(
         (1, 0, 2) + tuple(range(3, a.ndim + 1))
     )
     out = jax.lax.map(
-        lambda args: run(*args),
-        (split(starts), split(sup), split(wxn), split(wyn), split(sup_scale)),
+        run, tuple(map(split, ops))
     )  # (K, B, T, chunk, Do) — or (K, B, chunk, T, Do) track-major
     if track_major:
-        out = out.transpose(1, 0, 2, 3, 4).reshape(B, K * chunk, T, -1)
+        out = out.transpose(1, 0, 2, 3, 4).reshape(B, K * chunk, out.shape[3], -1)
         return out[:, :N]
-    out = out.transpose(1, 2, 0, 3, 4).reshape(B, T, K * chunk, -1)
+    out = out.transpose(1, 2, 0, 3, 4).reshape(B, out.shape[2], K * chunk, -1)
     return out[:, :, :N]
+
+
+def fused_corr_embs_pallas(
+    fmaps,
+    support,
+    coords,
+    w1,
+    b1,
+    w2,
+    b2,
+    radius: int = 3,
+    chunk=None,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    prepacked: bool = False,
+    track_major: bool = False,
+    quant_int8: bool = False,
+    fuse_combine: bool = False,
+):
+    """Same contract as ops.corr.fused_corr_embs, hot path as a Pallas kernel.
+
+    fmaps (B, T, H, W, C) — or, with prepacked=True, the output of
+    build_shifted_fmaps (K*B*T, H+2p, W+2p, C), letting callers hoist the
+    padded-copies build out of an update-iteration scan.
+    support (B, N, P*P, C); coords (B, T, N, 2); chunk bounds the transient
+    (n, 49, 8*T*8) correlation block over N. Returns (B, T, N, Do), or
+    (B, N, T, Do) with track_major=True (the layout rides the MLP einsum).
+
+    quant_int8: window data moves through HBM as int8 (see
+    build_shifted_fmaps) — halves the scattered-DMA bytes that bound this
+    kernel. Windows carry clip(round(f*128), -127, 127); the exact 1/128
+    dequant scale is folded into the support operand before the contraction.
+    """
+    B, _, N = coords.shape[:3]
+    cd = compute_dtype
+    lhs = "bntk" if track_major else "btnk"
+    out_sub = "bnto" if track_major else "btno"
+    ops, hidden = _corr_level_plan(
+        fmaps, support, coords, w1, b1, radius=radius,
+        compute_dtype=compute_dtype, interpret=interpret, prepacked=prepacked,
+        track_major=track_major, quant_int8=quant_int8,
+        fuse_combine=fuse_combine,
+    )
+
+    def run(ops_chunk):
+        h = hidden(*ops_chunk)
+        return jnp.einsum(
+            f"{lhs},ko->{out_sub}", h, w2.astype(cd),
+            preferred_element_type=F32,
+        ).astype(cd) + b2.astype(cd)
+
+    return _chunked_over_points(run, ops, B, N, chunk, track_major)
+
+
+def fused_corr_tokens_pallas(
+    packed_list,
+    support_list,
+    coords,
+    w1,
+    b1,
+    w2f_list,
+    b2f_sum,
+    radius: int = 3,
+    chunk=None,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    quant_int8: bool = False,
+    fuse_combine: bool = False,
+    extra_ops=(),
+    extra_fn=None,
+):
+    """All-levels fused correlation -> TOKEN contributions, one chunk loop.
+
+    The fold_input_proj fast path (models/cotracker3.py IterationCore): for
+    each pyramid level i, run the window kernel + MLP1 + GELU, then apply the
+    FOLDED second layer w2f_i = w2 @ Win[corr rows of level i] — emitting the
+    level's (B, n, T, Dtok) updateformer-token contribution directly — and
+    accumulate across levels INSIDE the per-chunk body, so per-level
+    embeddings never materialize at full N in HBM (at the bench shape that
+    traffic plus the 1024/1110-d concats and the 1110-wide projection pass
+    was ~5 GB per iteration).
+
+    packed_list/support_list: per level, prepacked fmaps from
+    build_shifted_fmaps and (B, N, S, C) support. coords in LEVEL-0 units
+    (level i uses coords / 2^i). b2f_sum: (Dtok,) — sum over levels of
+    b2 @ Win_slice (added once). extra_ops: tuple of (B, N, ...) arrays
+    chunked alongside; extra_fn(*extra_chunk) -> (B, n, T, Dtok) returns the
+    non-correlation token terms (vis/conf rank-1, rel-emb, time embedding,
+    input bias) computed per chunk so they fuse into the accumulation.
+    Output: (B, N, T, Dtok) tokens, track-major, compute dtype.
+    """
+    B, _, N = coords.shape[:3]
+    cd = compute_dtype
+    plans = []
+    for i, (packed, support) in enumerate(zip(packed_list, support_list)):
+        ops_i, hidden_i = _corr_level_plan(
+            packed, support, coords / (2.0**i), w1, b1, radius=radius,
+            compute_dtype=compute_dtype, interpret=interpret, prepacked=True,
+            track_major=True, quant_int8=quant_int8, fuse_combine=fuse_combine,
+        )
+        plans.append((ops_i, hidden_i))
+
+    n_level_ops = len(plans[0][0])
+    ops = tuple(op for ops_i, _ in plans for op in ops_i) + tuple(extra_ops)
+
+    def run(ops_chunk):
+        acc = None
+        for li, (_, hidden_i) in enumerate(plans):
+            h = hidden_i(*ops_chunk[li * n_level_ops : (li + 1) * n_level_ops])
+            contrib = jnp.einsum(
+                "bntk,ko->bnto", h, w2f_list[li].astype(cd),
+                preferred_element_type=F32,
+            )
+            acc = contrib if acc is None else acc + contrib
+        if extra_fn is not None:
+            acc = acc + extra_fn(*ops_chunk[len(plans) * n_level_ops :])
+        return (acc + b2f_sum).astype(cd)
+
+    return _chunked_over_points(run, ops, B, N, chunk, track_major=True)
 
 
 @functools.lru_cache(maxsize=None)

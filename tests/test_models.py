@@ -327,3 +327,28 @@ class TestChunkedEncoder:
         # golden model-parity tests
         for a, b in zip(base[:3], chunked[:3]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3)
+
+    def test_fold_input_proj_matches_plain(self):
+        """fold_input_proj reassociates corr-MLP2 @ input-projection into one
+        per-level matmul (token contributions summed, small terms folded) —
+        same math as the concat + Linear build, same param tree."""
+        from cotracker_tpu.models.build import init_params
+
+        model = CoTrackerThree(window_len=8, model_resolution=(32, 32))
+        params = init_params(model)
+        rng = np.random.default_rng(31)
+        B, T, H, W, N = 1, 8, 32, 32, 6
+        video = jnp.asarray(rng.random((B, T, H, W, 3), np.float32) * 255)
+        queries = jnp.asarray(
+            np.stack(
+                [np.zeros((B, N)), rng.random((B, N)) * 31, rng.random((B, N)) * 31],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        base = model.apply({"params": params}, video, queries, iters=2)
+        folded_model = CoTrackerThree(
+            window_len=8, model_resolution=(32, 32), fold_input_proj=True
+        )
+        folded = folded_model.apply({"params": params}, video, queries, iters=2)
+        for a, b in zip(base[:3], folded[:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3)

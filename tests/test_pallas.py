@@ -422,8 +422,9 @@ class TestWholeBlockKernels:
 class TestFuseCombine:
     """fuse_combine=True emits the combined exact correlation volume from the
     kernel (lanes (t, y, x), in-kernel rolls) instead of raw window taps.
-    Measured a WASH on the round-1 chip (in-kernel VPU combine ~= the fused
-    epilogue read it replaces) — kept flag-off, verified for future chips."""
+    Round 2: with the s8 x s8 MLP1 epilogue (padded int8 W1, zero weights on
+    the roll-wrap garbage lanes) this measured 84.6 vs 86.7 ms/level-iter on
+    hardware — now ON in the fast path (build.py fast_kw, bench.py)."""
 
     def test_matches_plain_paths(self):
         from cotracker_tpu.ops.corr import fused_corr_embs
@@ -599,3 +600,94 @@ class TestPallasCorrGradInt8:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
             )
+
+
+class TestFusedCorrTokens:
+    """fused_corr_tokens_pallas: all pyramid levels + folded input projection
+    + extra token terms through ONE chunk loop (IterationCore.fold_input_proj
+    fast path) must equal the per-level fold sum."""
+
+    def test_matches_per_level_fold(self):
+        from cotracker_tpu.ops.kernels.corr_pallas import (
+            build_shifted_fmaps,
+            fused_corr_embs_pallas,
+            fused_corr_tokens_pallas,
+        )
+
+        rng = np.random.default_rng(11)
+        B, T, N, C, Dh, Do, Dtok = 1, 4, 6, 128, 384, 256, 96
+        levels, packed, sups = [], [], []
+        H0, W0 = 24, 32
+        for i in range(3):
+            Hh, Ww = H0 >> i, W0 >> i
+            fm = jnp.asarray(rng.standard_normal((B, T, Hh, Ww, C)).astype(np.float32))
+            fm = fm / jnp.linalg.norm(fm, axis=-1, keepdims=True)
+            levels.append(fm)
+            packed.append(build_shifted_fmaps(fm, 3, jnp.float32, quant_int8=True))
+            sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+            sups.append(sup / jnp.linalg.norm(sup, axis=-1, keepdims=True))
+        coords = jnp.asarray(
+            (rng.random((B, T, N, 2)) * np.array([W0 - 1, H0 - 1])).astype(np.float32)
+        )
+        w1 = jnp.asarray(rng.standard_normal((2401, Dh)).astype(np.float32) * 0.02)
+        b1 = jnp.asarray(rng.standard_normal(Dh).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((Dh, Do)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal(Do).astype(np.float32) * 0.1)
+        folds = [
+            jnp.asarray(rng.standard_normal((Do, Dtok)).astype(np.float32) * 0.1)
+            for _ in range(3)
+        ]
+        evis = jnp.asarray(rng.standard_normal((B, N, T)).astype(np.float32))
+        kv = jnp.asarray(rng.standard_normal(Dtok).astype(np.float32))
+
+        # reference: per-level folded embeddings, summed, + extra term
+        ref = sum(
+            fused_corr_embs_pallas(
+                packed[i], sups[i], coords / 2.0**i, w1, b1,
+                w2 @ folds[i], b2 @ folds[i], radius=3,
+                compute_dtype=jnp.float32, interpret=True, prepacked=True,
+                track_major=True, quant_int8=True,
+            )
+            for i in range(3)
+        ) + evis[..., None] * kv
+
+        out = fused_corr_tokens_pallas(
+            packed, sups, coords, w1, b1,
+            [w2 @ f for f in folds],
+            sum(b2 @ f for f in folds),
+            radius=3, chunk=4, compute_dtype=jnp.float32, interpret=True,
+            quant_int8=True,
+            extra_ops=(evis,),
+            extra_fn=lambda v: v[..., None] * kv,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_model_fold_pallas_matches_xla_fold(self):
+        """Model level: fold_input_proj + use_pallas_corr (interpret) vs
+        fold_input_proj on the plain XLA corr path."""
+        from cotracker_tpu.models.cotracker3 import CoTrackerThree
+        from cotracker_tpu.models.build import init_params
+
+        rng = np.random.default_rng(12)
+        B, T, H, W, N = 1, 8, 32, 32, 5
+        video = jnp.asarray(rng.random((B, T, H, W, 3), np.float32) * 255)
+        queries = jnp.asarray(
+            np.stack(
+                [np.zeros((B, N)), rng.random((B, N)) * 31, rng.random((B, N)) * 31],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        xla = CoTrackerThree(
+            window_len=8, model_resolution=(H, W), fold_input_proj=True
+        )
+        params = init_params(xla)
+        base = xla.apply({"params": params}, video, queries, iters=2)
+        pal = CoTrackerThree(
+            window_len=8, model_resolution=(H, W), fold_input_proj=True,
+            use_pallas_corr=True, corr_pallas_interpret=True, corr_chunk=3,
+        )
+        out = pal.apply({"params": params}, video, queries, iters=2)
+        for a, b in zip(base[:3], out[:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3)
