@@ -321,7 +321,13 @@ def _corr_level_plan(
             # comment): the contraction runs natively s8 x s8 -> s32 on the
             # MXU; the 1/128 window scale and this per-point scale both fold
             # into the epilogue dequant. |x| and max of bf16 values are
-            # exact, so reducing in the source dtype loses nothing.
+            # exact, so the REDUCTION loses nothing in the source dtype —
+            # but on the fast path sup_c itself was staged through bf16
+            # (track_feat_pyramid casts to model dtype before chunking, the
+            # memory win that unlocked quasi-dense N), so the int8 quantize
+            # double-rounds f32->bf16->int8: up to ~2^-9 relative on top of
+            # int8's ~1/254. Same order as the bf16 path's own noise; folded
+            # into the documented random-weight drift figure.
             amax = jnp.maximum(
                 jnp.max(jnp.abs(sup_c), axis=(2, 3)).astype(F32), 1e-20
             )  # (B, n)

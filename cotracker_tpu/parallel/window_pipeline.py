@@ -243,19 +243,33 @@ def window_pipeline_forward(model, mesh: Mesh, iters: int = 4):
         )
         oc, ov, of = body(params, slabs, queries, tm)  # (Sd, B, L, N, ...)
 
+        # Final writer of global frame g (forward_windows' .set order) is
+        # window min(g // step, num_windows - 1). For g < step*num_windows
+        # that window lives on stage g // (step*wloc) at local frame
+        # g - s*wloc*step — the per-stage body slice. Frames past that are
+        # written by the LAST REAL window, which lives on stage
+        # (num_windows-1)//wloc — NOT necessarily the last stage: chain-
+        # padding windows (w_real mask above) never write their buffers, so
+        # trailing stages can be all-zero when num_windows < Sd*wloc.
+        owner_last = (num_windows - 1) // wloc
+        body_T = min(T, step * num_windows)
+        tail_len = T - body_T  # <= overlap (T <= step*(num_windows-1)+S)
+        tail_lo = body_T - owner_last * wloc * step
+
         def stitch(x):
-            # stage s owns frames [s*wloc*step, (s+1)*wloc*step); the halo'd
-            # tail is re-written by stage s+1's first window (same
-            # overwrite-on-overlap order as forward_windows' .set sequence);
-            # the last stage contributes its tail too
             body_part = x[:, :, : wloc * step]  # (Sd, B, wloc*step, ...)
             body_part = jnp.moveaxis(body_part, 0, 1).reshape(
                 (B, Sd * wloc * step) + x.shape[3:]
             )
-            full = jnp.concatenate(
-                [body_part, x[-1, :, wloc * step :]], axis=1
+            if not tail_len:
+                return body_part[:, :body_T]
+            return jnp.concatenate(
+                [
+                    body_part[:, :body_T],
+                    x[owner_last, :, tail_lo : tail_lo + tail_len],
+                ],
+                axis=1,
             )
-            return full[:, :T]
 
         return (
             stitch(oc),

@@ -69,6 +69,10 @@ def _setup(B, T, N=16, H=32, W=32, seed=0, damp=None):
         (2, 36, 4),  # 8 windows, 2 per stage, no frame padding
         (1, 30, 4),  # 7 windows -> padded chain, repeat-last frame pad
         (3, 20, 2),  # more videos than stages (pipeline saturates)
+        (1, 12, 4),  # 2 windows on 4 stages: trailing stages hold ONLY
+        #              chain-padding windows; the stitch tail must come from
+        #              the stage owning the last REAL window (regression for
+        #              the all-zero-tail bug, num_windows % wloc == 0)
     ],
 )
 def test_pipeline_matches_sequential_damped(B, T, stages):
