@@ -1,22 +1,23 @@
 """Dynamic Replica evaluation dataset.
 
 Numpy re-implementation of the reference DynamicReplicaDataset
-(datasets/dr_dataset.py:47-168): gzipped-JSON frame annotations grouped per
-sequence ("left" camera), per-frame .pth files holding img / traj_2d /
-verts_inds_vis, random track subsampling, out-of-frame visibility clearing,
-and the <10-visible-frames track filter.
+(datasets/dr_dataset.py:47-168): gzipped-JSON frame annotations hydrated into
+typed dataclasses (datasets/annotations.py, mirroring the reference's
+dataclass_utils loader semantics), grouped per sequence ("left" camera),
+per-frame .pth files holding img / traj_2d / verts_inds_vis, random track
+subsampling, out-of-frame visibility clearing, and the <10-visible-frames
+track filter.
 
 torch is only needed to read the per-frame tensor files.
 """
 
-import gzip
-import json
 import os
 from collections import defaultdict
 from typing import Optional, Tuple
 
 import numpy as np
 
+from cotracker_tpu.datasets.annotations import load_frame_annotations
 from cotracker_tpu.datasets.utils import CoTrackerData
 
 
@@ -38,13 +39,12 @@ class DynamicReplicaDataset:
         self.rng = np.random.default_rng(seed)
 
         path = os.path.join(root, split, f"frame_annotations_{split}.jgz")
-        with gzip.open(path, "rt", encoding="utf8") as f:
-            frame_annots = json.load(f)
+        frame_annots = load_frame_annotations(path)  # schema-validated
 
         seq_annot = defaultdict(list)
         for fa in frame_annots:
-            if fa.get("camera_name") == "left":
-                seq_annot[fa["sequence_name"]].append(fa)
+            if fa.camera_name == "left":
+                seq_annot[fa.sequence_name].append(fa)
 
         self.sample_list = []
         for seq_name, frames in seq_annot.items():
@@ -66,10 +66,10 @@ class DynamicReplicaDataset:
         sample = self.sample_list[index]
         T = len(sample)
         rgbs, visibilities, traj_2d = [], [], []
-        H, W = sample[0]["image"]["size"]
+        H, W = sample[0].image.size
 
         for fa in sample:
-            traj_path = os.path.join(self.root, self.split, fa["trajectories"]["path"])
+            traj_path = os.path.join(self.root, self.split, fa.trajectories["path"])
             traj = torch.load(traj_path, map_location="cpu", weights_only=False)
             visibilities.append(traj["verts_inds_vis"].numpy())
             rgbs.append(traj["img"].numpy())
@@ -107,5 +107,5 @@ class DynamicReplicaDataset:
             trajectory=traj_2d.astype(np.float32),
             visibility=visibility,
             valid=np.ones((T, traj_2d.shape[1]), np.float32),
-            seq_name=sample[0]["sequence_name"],
+            seq_name=sample[0].sequence_name,
         )

@@ -61,12 +61,20 @@ class TAPIRPredictor:
             return model(frames, query_points, query_chunk_size=64)
 
         fn = hk.transform_with_state(forward)
-        params, state = None, None
+        key = jax.random.PRNGKey(0)
         if checkpoint is not None:
             ckpt = np.load(checkpoint, allow_pickle=True).item()
             params, state = ckpt["params"], ckpt["state"]
+        else:
+            # random init — lets the distillation wiring run end-to-end
+            # (toy shapes) before a BootsTAPIR checkpoint is available
+            rh, rw = resolution
+            params, state = fn.init(
+                key,
+                np.zeros((1, 2, rh, rw, 3), np.float32),
+                np.zeros((1, 1, 3), np.float32),
+            )
         apply = jax.jit(fn.apply)
-        key = jax.random.PRNGKey(0)
 
         def model_fn(frames, query_points):
             out, _ = apply(params, state, key, frames, query_points)

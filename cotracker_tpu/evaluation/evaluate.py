@@ -36,6 +36,13 @@ class DefaultConfig:
     fast_eval: bool = False
     local_extent: int = 50
     v2: bool = False  # legacy CoTracker2 family (reference evaluate.py:57)
+    # model input resolution "HxW" (reference fixed 384x512; overridable so
+    # the CLI plumbing dry-runs at toy shapes on CPU)
+    model_res: str = "384x512"
+    # online predictor's fixed-capacity prediction buffer (frames)
+    online_capacity: int = 4096
+    # TPU inference hot path (bf16 + Pallas + int8) — see build_cotracker
+    fast: bool = False
 
 
 def run_eval(cfg: DefaultConfig):
@@ -48,15 +55,18 @@ def run_eval(cfg: DefaultConfig):
     with open(os.path.join(cfg.exp_dir, "expconfig.json"), "w") as f:
         json.dump(dataclasses.asdict(cfg), f, indent=2)
 
+    h, _, w = cfg.model_res.partition("x")
+    model_resolution = (int(h), int(w))
     model, params = build_cotracker(
         cfg.checkpoint, offline=cfg.offline_model, window_len=cfg.window_len,
-        v2=cfg.v2,
+        v2=cfg.v2, model_resolution=model_resolution, fast=cfg.fast,
     )
 
     if cfg.offline_model:
         predictor = EvaluationPredictor(
             model,
             params,
+            interp_shape=model_resolution,
             grid_size=cfg.grid_size,
             local_grid_size=cfg.local_grid_size,
             single_point=cfg.single_point,
@@ -69,7 +79,9 @@ def run_eval(cfg: DefaultConfig):
         from cotracker_tpu.predictor import CoTrackerOnlinePredictor
 
         online = CoTrackerOnlinePredictor(
-            cfg.checkpoint, window_len=cfg.window_len, v2=cfg.v2
+            cfg.checkpoint, window_len=cfg.window_len, v2=cfg.v2,
+            model_resolution=model_resolution, capacity=cfg.online_capacity,
+            fast=cfg.fast,
         )
         predictor = OnlineWrapper(online)
 

@@ -247,12 +247,46 @@ class Attention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(B, N1, h * d)
         return self.to_out(out)
 
-    def virtual_from_points(self, virtual, points, key_mask=None):
+    def virtual_from_points(self, virtual, points, key_mask=None, axis_name=None):
         """Queries: virtual (B, T, V, C) frame-major (small). Keys/values:
-        points (B, N, T, C) track-native. Returns (B, T, V, C_out)."""
+        points (B, N, T, C) track-native. Returns (B, T, V, C_out).
+
+        axis_name: mesh axis over which N (the keys) is sharded. Inside
+        shard_map this runs the two-pass partial softmax — local max, global
+        pmax, exp-weighted local numerator/denominator, psum — which is the
+        ONLY cross-shard collective of the whole track-sharded model
+        (SURVEY.md §2.7-2: O(T*V*C) bytes per space round). Masked keys use
+        the reference's additive -finfo.max bias (cotracker.py:571-572), so
+        an all-masked shard stays finite and contributes exp(-huge) ~ 0."""
         h, d = self.num_heads, self.dim_head
         B, T, V, _ = virtual.shape
         N = points.shape[1]
+        if axis_name is not None:
+            q = self.to_q(virtual).reshape(B, T, V, h, d)
+            k, v = jnp.split(self.to_kv(points), 2, axis=-1)
+            k = k.reshape(B, N, T, h, d)
+            v = v.reshape(B, N, T, h, d)
+            sim = jnp.einsum(
+                "btvhd,bnthd->bthvn", q, k, preferred_element_type=jnp.float32
+            ) * (d**-0.5)
+            if key_mask is not None:  # (B, N_local) True = valid key
+                neg = -jnp.finfo(jnp.float32).max
+                sim = sim + jnp.where(key_mask, 0.0, neg)[:, None, None, None, :]
+            # global row max, stop_gradient'ed: the max subtraction is a pure
+            # numerical stabilizer (softmax is shift-invariant, and so is its
+            # gradient), and pmax has no differentiation rule
+            # (stop_gradient BEFORE the collective: pmax has no JVP rule, and
+            # the tangent must be severed on its way in, not just out)
+            m = jax.lax.pmax(
+                jax.lax.stop_gradient(jnp.max(sim, axis=-1)), axis_name
+            )  # (B, T, h, V)
+            p = jnp.exp(sim - m[..., None])  # in [0, 1]
+            num = jnp.einsum("bthvn,bnthd->bthvd", p.astype(v.dtype), v)
+            den = jnp.sum(p, axis=-1)  # (B, T, h, V)
+            num, den = jax.lax.psum((num, den), axis_name)
+            out = num / den[..., None].astype(num.dtype)
+            out = out.transpose(0, 1, 3, 2, 4).reshape(B, T, V, h * d)
+            return self.to_out(out)
         if self.use_pallas and _space_tile_ok(N):
             from cotracker_tpu.ops.kernels.attention_pallas import (
                 fused_virtual_from_points,
@@ -482,15 +516,21 @@ class CrossAttnBlock(nn.Module):
         x = x + self.mlp(layer_norm(x))
         return x
 
-    def virtual_from_points(self, virtual, points, key_mask=None):
+    def virtual_from_points(self, virtual, points, key_mask=None, axis_name=None):
         """virtual (B, T, V, C) frame-major queries; points (B, N, T, C)
         track-native keys/values; key_mask (B, N).
+
+        axis_name: N sharded over this mesh axis (shard_map) — the attention
+        runs the two-pass psum softmax; the quant flash kernel is bypassed
+        (it normalizes locally). The virtual-side residual/MLP is tiny and
+        computed redundantly (identically) on every shard.
 
         quant path: the context norm + to_kv projection over the big point
         tensor fuse into one W8A8 Pallas pass feeding the flash
         virtual<-points kernel; the tiny virtual-side ops stay XLA."""
         if (
-            self.quant_int8
+            axis_name is None
+            and self.quant_int8
             and not os.environ.get("COTRACKER_NO_SPACE_QUANT")  # A/B debug knob
             and points.ndim == 4
             and _space_tile_ok(points.shape[1])
@@ -501,7 +541,7 @@ class CrossAttnBlock(nn.Module):
                 return out
         ctx = self.norm_context(points)
         virtual = virtual + self.cross_attn.virtual_from_points(
-            layer_norm(virtual), ctx, key_mask=key_mask
+            layer_norm(virtual), ctx, key_mask=key_mask, axis_name=axis_name
         )
         return virtual + self.mlp(layer_norm(virtual))
 

@@ -69,6 +69,10 @@ def build_cotracker(
 
 def init_params(model, seed: int = 0):
     """Random-initialize a parameter tree by tracing a tiny forward."""
+    if getattr(model, "track_axis", None) is not None:
+        # track_axis models only run inside shard_map (their psum axis is
+        # unbound here); the param tree is identical without it
+        model = model.clone(track_axis=None)
     rng = jax.random.PRNGKey(seed)
     # tiny shapes are fine: params are shape-independent of T/N/H/W except
     # the encoder convs (channel-only) and dense layers (feature-only).

@@ -215,6 +215,10 @@ class IterationCore(nn.Module):
     corr_pallas_interpret: bool = False
     use_pallas_attn: bool = False
     attn_quant_int8: bool = False
+    # mesh axis over which N is sharded when running inside shard_map (the
+    # track-sharded fast path, parallel/mesh.py): threads down to the
+    # virtual<-points psum softmax. None = unsharded.
+    track_axis: Optional[str] = None
     # fold the updateformer input projection into the correlation epilogue:
     # token = sum_lvl gelu(h_lvl) @ (w2 @ Win[lvl rows]) + small terms, so
     # the (B,N,T,1024) corr-emb concat, the (B,N,T,1110) input concat, and
@@ -245,6 +249,7 @@ class IterationCore(nn.Module):
             dtype=None if self.dtype == jnp.float32 else self.dtype,
             use_pallas_attn=self.use_pallas_attn,
             quant_int8=self.attn_quant_int8,
+            track_axis=self.track_axis,
             name="updateformer",
         )
 
@@ -423,6 +428,11 @@ class CoTrackerThree(nn.Module):
     # run the updateformer block bodies (qkv/out projections + MLPs) as
     # fused W8A8 Pallas kernels (see ops/kernels/mlp_int8_pallas.py)
     attn_quant_int8: bool = False
+    # mesh axis over which the N (tracks) axis is sharded: set this when the
+    # model is applied INSIDE jax.shard_map with per-shard queries/support
+    # (parallel/mesh.py track-sharded fast path). The Pallas kernels then run
+    # per shard on local N and the only collective is the virtual-token psum.
+    track_axis: Optional[str] = None
     # make the Pallas corr featurizer differentiable (Pallas forward, XLA-vjp
     # backward — see corr_pallas.fused_corr_embs_pallas_trainable): training
     # configs set this together with use_pallas_corr. Off by default so the
@@ -468,6 +478,7 @@ class CoTrackerThree(nn.Module):
             corr_pallas_interpret=self.corr_pallas_interpret,
             use_pallas_attn=self.use_pallas_attn,
             attn_quant_int8=self.attn_quant_int8,
+            track_axis=self.track_axis,
             fold_input_proj=self.fold_input_proj,
             name="iter_core",
         )

@@ -38,6 +38,11 @@ class EfficientUpdateFormer(nn.Module):
     dtype: Any = None
     use_pallas_attn: bool = False  # fused time-attention core (inference)
     quant_int8: bool = False  # fused W8A8 block bodies (inference)
+    # mesh axis name over which N (tracks) is sharded. Set when the module
+    # runs INSIDE shard_map with per-shard point tokens: the virtual<-points
+    # attention becomes the two-pass psum softmax (blocks.py), everything
+    # else stays local. None = unsharded (or GSPMD-auto) execution.
+    track_axis: Optional[str] = None
     # Legacy (CoTracker2) mask conventions, reference cotracker.py:507-523:
     # track_mask additionally QUERY-masks the points<-virtual attention
     # (masked queries degrade to the uniform average of the virtual values).
@@ -148,7 +153,9 @@ class EfficientUpdateFormer(nn.Module):
                 # big point tensor stays track-native — its frame-major reads
                 # ride the layout-carrying einsums in Attention.*_from_points
                 vt = virtual.transpose(0, 2, 1, 3)  # (B, T, V, C)
-                vt = v2p_blocks[j].virtual_from_points(vt, tokens, key_mask=track_mask)
+                vt = v2p_blocks[j].virtual_from_points(
+                    vt, tokens, key_mask=track_mask, axis_name=self.track_axis
+                )
                 vt = v_blocks[j](vt.reshape(B * T, V, C)).reshape(B, T, V, C)
                 tokens = p2v_blocks[j].points_from_virtual(
                     tokens, vt,

@@ -1,16 +1,23 @@
 """Masked reductions (mirrors reference model_utils.py:142-188, losses.py:96-118)."""
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-6
 
 
-def reduce_masked_mean(x, mask, axis=None, keepdims=False):
-    """Mean of `x` over elements where `mask` is nonzero: sum(x*m)/(eps+sum(m))."""
+def reduce_masked_mean(x, mask, axis=None, keepdims=False, axis_name=None):
+    """Mean of `x` over elements where `mask` is nonzero: sum(x*m)/(eps+sum(m)).
+
+    axis_name: optional mesh axis name(s). Inside shard_map, psum the
+    numerator and denominator over those axes so the mean is over the GLOBAL
+    (unsharded) elements — used by the track-sharded train step."""
     mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
     prod = x * mask
     numer = jnp.sum(prod, axis=axis, keepdims=keepdims)
     denom = jnp.sum(mask, axis=axis, keepdims=keepdims)
+    if axis_name is not None:
+        numer, denom = jax.lax.psum((numer, denom), axis_name)
     return numer / (EPS + denom)
 
 

@@ -59,7 +59,9 @@ def sample_queries_from_gt(rng, trajs_g, vis_g, method: str = "first_visible"):
     return jnp.concatenate([inds[..., None].astype(jnp.float32), xys], axis=-1)
 
 
-def _online_loss_assembly(train_data, trajs_g, vis_g, valids, cfg: TrainConfig):
+def _online_loss_assembly(
+    train_data, trajs_g, vis_g, valids, cfg: TrainConfig, axis_name=None
+):
     """Per-sliding-window loss assembly for the online model (reference
     train_on_kubric.py:175-227): slice GT to each S-frame window (step S//2),
     gate valids by the "query started" mask, average losses over windows.
@@ -97,15 +99,22 @@ def _online_loss_assembly(train_data, trajs_g, vis_g, valids, cfg: TrainConfig):
         flow = flow + sequence_loss(
             coords_w[w], traj_gt, val, vis=vis_gt, gamma=0.8,
             add_huber_loss=cfg.add_huber_loss, loss_only_for_visible=True,
+            axis_name=axis_name,
         )
         if not cfg.train_only_on_visible:
             invis = invis + sequence_loss(
                 coords_w[w], traj_gt, val, vis=1.0 - vis_gt, gamma=0.8,
                 add_huber_loss=False, loss_only_for_visible=True,
+                axis_name=axis_name,
             )
-        vis_l = vis_l + sequence_bce_loss(vis_w[w], vis_gt, frame_mask=frame_mask)
+        vis_l = vis_l + sequence_bce_loss(
+            vis_w[w], vis_gt, frame_mask=frame_mask, axis_name=axis_name
+        )
         conf_l = conf_l + jnp.mean(
-            sequence_prob_loss(coords_w[w], conf_w[w], traj_gt, vis_gt, frame_mask=frame_mask)
+            sequence_prob_loss(
+                coords_w[w], conf_w[w], traj_gt, vis_gt, frame_mask=frame_mask,
+                axis_name=axis_name,
+            )
         )
     n = len(coords_w)
     return flow / n, invis / n, vis_l / n, conf_l / n
@@ -121,6 +130,7 @@ def tracker_loss_fn(
     queries,
     cfg: TrainConfig,
     track_mask: Optional[jnp.ndarray] = None,
+    axis_name=None,
 ):
     """Training loss (reference train_on_kubric.py:163-227): single-window
     forward for the offline model, warm-started multi-window forward + the
@@ -128,6 +138,10 @@ def tracker_loss_fn(
 
     video (B, T, H, W, 3); trajs_g (B, T, N, 2); vis_g/valids (B, T, N).
     Returns (total_loss, aux dict).
+
+    axis_name: mesh axis name(s) when called inside shard_map with B sharded
+    over "data" and N over "track" — every masked mean psums num/den so the
+    loss equals the unsharded value (parallel/mesh.py fast sharded step).
     """
     if not cfg.offline_model:
         _, _, _, train_data = model.apply(
@@ -142,7 +156,7 @@ def tracker_loss_fn(
         if track_mask is not None:
             valids = valids * track_mask[:, None, :].astype(valids.dtype)
         flow_loss, invis_loss, vis_loss, conf_loss = _online_loss_assembly(
-            train_data, trajs_g, vis_g, valids, cfg
+            train_data, trajs_g, vis_g, valids, cfg, axis_name=axis_name
         )
         total = flow_loss * cfg.flow_weight + vis_loss + conf_loss
         aux = {
@@ -177,9 +191,14 @@ def tracker_loss_fn(
         gamma=0.8,
         add_huber_loss=cfg.add_huber_loss,
         loss_only_for_visible=True,
+        axis_name=axis_name,
     )
-    conf_loss = jnp.mean(sequence_prob_loss(coord_preds, conf_preds, trajs_g, vis_g))
-    vis_loss = sequence_bce_loss(vis_preds, vis_g)
+    conf_loss = jnp.mean(
+        sequence_prob_loss(
+            coord_preds, conf_preds, trajs_g, vis_g, axis_name=axis_name
+        )
+    )
+    vis_loss = sequence_bce_loss(vis_preds, vis_g, axis_name=axis_name)
 
     total = flow_loss * cfg.flow_weight + vis_loss + conf_loss
     aux = {
@@ -196,6 +215,7 @@ def tracker_loss_fn(
             gamma=0.8,
             add_huber_loss=False,
             loss_only_for_visible=True,
+            axis_name=axis_name,
         )
         total = total + invis_loss * cfg.invisible_flow_weight
         aux["invisible_flow_loss"] = invis_loss * cfg.invisible_flow_weight

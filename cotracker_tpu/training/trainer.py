@@ -248,19 +248,9 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
         step0 = blob["total_steps"]
         print(f"auto-resumed from {resume} at step {step0}")
 
-    step_fn = make_train_step(model, tx, cfg)
     n_dev = len(jax.devices())
     mesh = None
     if n_dev > 1:
-        if args.use_pallas_corr:
-            # pallas_call is not GSPMD-partitionable: under the sharded jit the
-            # kernel would silently replicate (or fail to partition) the
-            # correlation work per device. Single-chip only until the kernel is
-            # wrapped in shard_map.
-            raise ValueError(
-                "use_pallas_corr is single-device only; run the XLA corr path "
-                "on meshes (or shard_map the kernel first)"
-            )
         shape = args.mesh_shape
         if shape is None:
             # default: as much data-parallelism as the batch divides into,
@@ -275,12 +265,27 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
                 f"don't shard over mesh {shape}"
             )
         mesh = make_mesh(shape)
-        step_fn = sharded_train_step(step_fn, mesh)
+        if args.use_pallas_corr or getattr(model, "track_axis", None):
+            # pallas_call is not GSPMD-partitionable — the fast path runs
+            # under shard_map instead: kernels per-shard on local N, the
+            # virtual-token psum as the only collective, losses psum'ed to
+            # the global masked means (parallel/mesh.py).
+            from cotracker_tpu.parallel.mesh import make_fast_sharded_train_step
+
+            # the step uses a track_axis clone (same params); `model` itself
+            # stays axis-free so the eval hook can apply it outside shard_map
+            smodel = (
+                model if getattr(model, "track_axis", None)
+                else model.clone(track_axis="track")
+            )
+            step_fn = make_fast_sharded_train_step(smodel, tx, cfg, mesh)
+        else:
+            step_fn = sharded_train_step(make_train_step(model, tx, cfg), mesh)
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
         print(f"training on mesh {dict(mesh.shape)}")
     else:
-        step_fn = jax.jit(step_fn, donate_argnums=(0, 1))
+        step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0, 1))
 
     logger = Logger(args.exp_dir)
 

@@ -111,3 +111,105 @@ class TestVisualizer:
         v.visualize(video, tracks, filename="tb", writer=writer, step=1)
         writer.close()
         assert any(f.startswith("events") for f in os.listdir(tmp_path))
+
+
+class TestDynamicReplica:
+    """Typed-annotation hydration (datasets/annotations.py; reference
+    dataclass_utils.py:17-168 semantics: strict keys, required fields,
+    recursive generics) + the DR dataset end-to-end on a synthetic tree."""
+
+    def _annot(self, seq, t, with_traj=True):
+        a = {
+            "sequence_name": seq,
+            "frame_number": t,
+            "frame_timestamp": t / 24.0,
+            "image": {"path": f"{seq}/images/{t:05d}.jpg", "size": [24, 32]},
+            "camera_name": "left",
+        }
+        if with_traj:
+            a["trajectories"] = {"path": f"{seq}/traj/{t:05d}.pth"}
+        return a
+
+    def _tree(self, tmp_path, T=6, N=8):
+        import gzip, json
+        import torch
+
+        root = os.path.join(tmp_path, "dr")
+        split_dir = os.path.join(root, "valid")
+        annots = [self._annot("seq_x", t) for t in range(T)]
+        # a right-camera record must be filtered out, not break grouping
+        annots.append({**self._annot("seq_x", 0), "camera_name": "right"})
+        os.makedirs(split_dir, exist_ok=True)
+        with gzip.open(
+            os.path.join(split_dir, "frame_annotations_valid.jgz"), "wt"
+        ) as f:
+            json.dump(annots, f)
+        rng = np.random.default_rng(3)
+        for t in range(T):
+            d = os.path.join(split_dir, "seq_x", "traj")
+            os.makedirs(d, exist_ok=True)
+            torch.save(
+                {
+                    "img": torch.tensor(
+                        (rng.random((24, 32, 3)) * 255).astype(np.float32)
+                    ),
+                    "traj_2d": torch.tensor(
+                        np.concatenate(
+                            [
+                                rng.random((N, 2)).astype(np.float32) * 20,
+                                np.zeros((N, 1), np.float32),
+                            ],
+                            axis=1,
+                        )
+                    ),
+                    "verts_inds_vis": torch.ones(N, dtype=torch.bool),
+                },
+                os.path.join(d, f"{t:05d}.pth"),
+            )
+        return root
+
+    def test_loads_synthetic_tree(self, tmp_path):
+        pytest.importorskip("torch")
+        from cotracker_tpu.datasets.dynamic_replica import DynamicReplicaDataset
+
+        T = 12  # > 10 so always-visible tracks survive the <10-visible filter
+        root = self._tree(tmp_path, T=T)
+        ds = DynamicReplicaDataset(root=root, split="valid", traj_per_sample=8)
+        assert len(ds) == 1
+        s = ds[0]
+        assert s.video.shape == (T, 3, 24, 32)
+        assert s.trajectory.shape == (T, 8, 2)
+        assert s.visibility.shape == s.valid.shape == (T, 8)
+        assert bool(s.visibility.all())
+        assert s.seq_name == "seq_x"
+
+    def test_malformed_annotations_raise(self, tmp_path):
+        from cotracker_tpu.datasets.annotations import (
+            AnnotationError,
+            DynamicReplicaFrameAnnotation,
+            hydrate,
+        )
+
+        good = self._annot("s", 0)
+        a = hydrate(good, DynamicReplicaFrameAnnotation)
+        assert a.image.size == (24, 32) and a.camera_name == "left"
+
+        bad_key = {**good, "bogus": 1}
+        with pytest.raises(AnnotationError, match="unknown key"):
+            hydrate(bad_key, DynamicReplicaFrameAnnotation)
+
+        missing = {k: v for k, v in good.items() if k != "sequence_name"}
+        with pytest.raises(AnnotationError, match="missing required"):
+            hydrate(missing, DynamicReplicaFrameAnnotation)
+
+        bad_type = {**good, "frame_number": "zero"}
+        with pytest.raises(AnnotationError, match="expected int"):
+            hydrate(bad_type, DynamicReplicaFrameAnnotation)
+
+        bad_nested = {**good, "image": {"path": "p"}}  # size missing
+        with pytest.raises(AnnotationError, match="missing required"):
+            hydrate(bad_nested, DynamicReplicaFrameAnnotation)
+
+        bad_tuple = {**good, "image": {"path": "p", "size": [1, 2, 3]}}
+        with pytest.raises(AnnotationError, match="2-tuple"):
+            hydrate(bad_tuple, DynamicReplicaFrameAnnotation)

@@ -280,3 +280,74 @@ class TestTAPIRWrapper:
         assert (vis[0, :, 0] == 1.0).all()
         assert (vis[0, :, 1] == 0.0).all()
         assert vis[0, 0, 2] == 0.0 and (vis[0, 1:, 2] == 1.0).all()
+
+
+class TestRealTAPIRIntegration:
+    """VERDICT r2 item 7: the actual tapnet TAPIR build (a JAX codebase) as a
+    distillation teacher. Skips when the external `tapnet` package is absent
+    (it is not vendored here); with it installed this runs the full loop —
+    hk.transform init (no checkpoint needed), TAPIRPredictor conversion, a
+    distill step on its pseudo-labels — at toy resolution (reference
+    train_on_real_data.py:429-438)."""
+
+    def test_tapir_absent_raises_with_guidance(self):
+        """Without tapnet, the constructor must fail with an actionable
+        ImportError (not deep inside a forward)."""
+        try:
+            import tapnet  # noqa: F401
+
+            pytest.skip("tapnet installed; covered by the end-to-end test")
+        except ImportError:
+            pass
+        from cotracker_tpu.evaluation.bootstap_predictor import TAPIRPredictor
+
+        with pytest.raises(ImportError, match="tapnet"):
+            TAPIRPredictor()
+
+    def test_distill_step_with_real_tapir(self):
+        pytest.importorskip("tapnet")
+        import jax
+        import jax.numpy as jnp
+        from cotracker_tpu.evaluation.bootstap_predictor import TAPIRPredictor
+        from cotracker_tpu.models.cotracker3 import CoTrackerThree
+        from cotracker_tpu.models.build import init_params
+        from cotracker_tpu.training.distill import (
+            DistillConfig,
+            distill_step_fn,
+            make_distill_optimizer,
+        )
+
+        rng = np.random.default_rng(0)
+        B, T, H, W, N = 1, 8, 64, 64, 4
+        video = (rng.random((B, T, 3, H, W)) * 255).astype(np.float32)
+        queries = np.stack(
+            [
+                np.zeros(N, np.float32),
+                rng.random(N).astype(np.float32) * (W - 1),
+                rng.random(N).astype(np.float32) * (H - 1),
+            ],
+            axis=-1,
+        )[None]
+
+        teacher = TAPIRPredictor(resolution=(64, 64))  # random-init tapir
+        tracks, vis = teacher(video, queries)
+        assert tracks.shape == (B, T, N, 2) and vis.shape == (B, T, N)
+        assert np.isfinite(tracks).all()
+
+        model = CoTrackerThree(window_len=8, model_resolution=(32, 32))
+        params = init_params(model)
+        cfg = DistillConfig(iters=2, offline_model=True)
+        tx = make_distill_optimizer(params, cfg)
+        step = jax.jit(distill_step_fn(model, tx, cfg))
+        sv = jnp.asarray(video.transpose(0, 1, 3, 4, 2))  # model wants BTHWC
+        sv = jax.image.resize(sv, (B, T, 32, 32, 3), "linear")
+        scale = np.array([32 / W, 32 / H], np.float32)
+        p2, _, aux = step(
+            params,
+            tx.init(params),
+            sv,
+            jnp.asarray(queries * np.array([1, *scale], np.float32)),
+            jnp.asarray(tracks * scale),
+            jnp.asarray(vis),
+        )
+        assert np.isfinite(float(aux["total_loss"]))

@@ -146,3 +146,59 @@ class TestEvaluatorEndToEnd:
         assert np.isfinite(res["seq"]["average_jaccard"])
         # per-sequence track overlay saved
         assert os.path.exists(os.path.join(exp, "tapvid_davis_first_seq.mp4"))
+
+
+class TestRunEvalCLI:
+    """CLI-level plumbing dry-run (VERDICT r2 item 6): synthetic pickle ->
+    run_eval -> expconfig.json + result_eval_.json with finite metrics, for
+    the offline joint, offline single-point, and online streaming protocols
+    (reference evaluate.py:69-175). This is the same code path
+    scripts/eval_tapvid.sh drives with real checkpoints/data."""
+
+    def _pickle(self, tmp_path, T=12, N=4):
+        rng = np.random.default_rng(5)
+        data = {
+            "seq": {
+                "video": (rng.random((T, 40, 40, 3)) * 255).astype(np.uint8),
+                "points": rng.random((N, T, 2)).astype(np.float32),
+                "occluded": np.zeros((N, T), bool),
+            }
+        }
+        p = os.path.join(tmp_path, "davis.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(data, f)
+        return p
+
+    def _run(self, tmp_path, **overrides):
+        import json
+        from cotracker_tpu.evaluation.evaluate import DefaultConfig, run_eval
+
+        cfg = DefaultConfig(
+            exp_dir=os.path.join(tmp_path, "exp"),
+            dataset_root=self._pickle(tmp_path),
+            dataset_name="tapvid_davis_first",
+            model_res="32x48",
+            window_len=8,
+            n_iters=2,
+            grid_size=2,
+            **overrides,
+        )
+        metrics = run_eval(cfg)
+        assert os.path.exists(os.path.join(cfg.exp_dir, "expconfig.json"))
+        res = json.load(open(os.path.join(cfg.exp_dir, "result_eval_.json")))
+        assert np.isfinite(res["time"])
+        for v in res["avg"].values():
+            assert np.isfinite(v)
+        return res
+
+    def test_offline_joint(self, tmp_path):
+        res = self._run(tmp_path)
+        assert "average_jaccard" in res["avg"]
+
+    def test_offline_single_point(self, tmp_path):
+        res = self._run(tmp_path, single_point=True, local_grid_size=2)
+        assert "average_jaccard" in res["avg"]
+
+    def test_online_streaming(self, tmp_path):
+        res = self._run(tmp_path, offline_model=False, online_capacity=64)
+        assert "average_jaccard" in res["avg"]

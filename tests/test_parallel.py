@@ -143,6 +143,128 @@ class TestShardedTrainStep:
         assert worst < 5e-4, worst
 
 
+class TestFastShardedForward:
+    """shard_map fast path (VERDICT r2 item 1): the Pallas corr kernel
+    (interpret mode on CPU) runs per shard on local N; the only collective is
+    the virtual<-points two-pass psum softmax. Sharded == unsharded."""
+
+    def test_pallas_forward_matches_unsharded(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        kw = dict(
+            window_len=8, model_resolution=(32, 32),
+            use_pallas_corr=True, corr_pallas_interpret=True, corr_chunk=2,
+            fold_input_proj=True,
+        )
+        ref_model = CoTrackerThree(**kw)
+        sh_model = CoTrackerThree(track_axis="track", **kw)
+        params = init_params(ref_model)
+        B = 2
+        video, queries = _data(B=B)
+        N = queries.shape[1]
+        mask = jnp.asarray(
+            np.concatenate([np.ones((B, N - 3)), np.zeros((B, 3))], 1).astype(bool)
+        )
+
+        ref_c, ref_v, ref_cf, _ = ref_model.apply(
+            {"params": params}, video, queries, iters=2, track_mask=mask
+        )
+
+        mesh = make_mesh((2, 4), devices=jax.devices()[:8])
+        fwd = track_sharded_forward(sh_model, mesh, iters=2)
+        c, v, cf = fwd(
+            replicate(mesh, params),
+            shard_batch(mesh, video, P("data", None, None, None, None)),
+            shard_batch(mesh, queries, P("data", "track", None)),
+            shard_batch(mesh, mask, P("data", "track")),
+        )
+        m = np.broadcast_to(np.asarray(mask)[:, None, :], np.asarray(v).shape)
+        np.testing.assert_allclose(
+            np.asarray(c)[m], np.asarray(ref_c)[m], rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(v)[m], np.asarray(ref_v)[m], rtol=1e-4, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(cf)[m], np.asarray(ref_cf)[m], rtol=1e-4, atol=5e-4
+        )
+
+
+class TestFastShardedTrainStep:
+    """make_fast_sharded_train_step == the unsharded jit step: queries are
+    sampled identically at global shape, every masked loss mean is psum'ed to
+    its global value, gradients psum-replicate before the optimizer."""
+
+    def _batch_and_models(self, offline, T=8):
+        kw = dict(
+            window_len=8, model_resolution=(32, 32),
+            use_pallas_corr=True, corr_pallas_grad=True,
+            corr_pallas_interpret=True, remat_iterations=True, corr_chunk=2,
+        )
+        plain = CoTrackerThree(**kw)
+        shard = CoTrackerThree(track_axis="track", **kw)
+        params = init_params(plain)
+        B, N = 2, 16
+        video, _ = _data(B=B, T=T)
+        rng = np.random.default_rng(7)
+        batch = {
+            "video": video,
+            "trajs_g": jnp.asarray(rng.random((B, T, N, 2)).astype(np.float32) * 31),
+            "vis_g": jnp.asarray((rng.random((B, T, N)) > 0.3).astype(np.float32))
+            .at[:, 0]
+            .set(1.0),
+            "valids": jnp.asarray(np.ones((B, T, N), np.float32)),
+        }
+        return plain, shard, params, batch
+
+    @pytest.mark.parametrize("offline", [True, False])
+    def test_matches_unsharded_step(self, offline):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from cotracker_tpu.parallel.mesh import make_fast_sharded_train_step
+        from cotracker_tpu.training.train_step import (
+            TrainConfig,
+            make_optimizer,
+            make_train_step,
+        )
+        from jax.sharding import NamedSharding
+
+        T = 8 if offline else 12
+        plain, shard, params, batch = self._batch_and_models(offline, T=T)
+        cfg = TrainConfig(
+            iters=2, offline_model=offline, sliding_window_len=8
+        )
+        tx, _ = make_optimizer(lr=1e-4, num_steps=100)
+        step = make_train_step(plain, tx, cfg)
+        key = jax.random.PRNGKey(0)
+        p1, _, a1 = jax.jit(step)(
+            jax.tree.map(jnp.copy, params), tx.init(params), key, batch
+        )
+
+        mesh = make_mesh((2, 4), devices=jax.devices()[:8])
+        sstep = make_fast_sharded_train_step(shard, tx, cfg, mesh)
+        bb = {
+            "video": shard_batch(mesh, batch["video"], P("data", None, None, None, None)),
+            "trajs_g": shard_batch(mesh, batch["trajs_g"], P("data", None, "track", None)),
+            "vis_g": shard_batch(mesh, batch["vis_g"], P("data", None, "track")),
+            "valids": shard_batch(mesh, batch["valids"], P("data", None, "track")),
+        }
+        p2, _, a2 = sstep(
+            replicate(mesh, jax.tree.map(jnp.copy, params)),
+            replicate(mesh, tx.init(params)),
+            jax.device_put(key, NamedSharding(mesh, P())),
+            bb,
+        )
+        np.testing.assert_allclose(
+            float(a1["total_loss"]), float(a2["total_loss"]), rtol=1e-4
+        )
+        worst = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2))
+        )
+        assert worst < 5e-4, worst
+
+
 class TestShardedOnlineTrainStep:
     def test_online_step_runs_sharded(self):
         """The ONLINE (multi-window, offline_model=False) train step compiles
