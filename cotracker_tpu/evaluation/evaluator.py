@@ -156,4 +156,8 @@ class OnlineWrapper:
         tracks = vis = None
         for ind in range(0, T - step, step):
             tracks, vis = self.p(video[:, ind : ind + step * 2])
+        if getattr(self.p, "return_full_buffers", False):
+            # fixed-capacity buffers: slice the valid prefix once at the end
+            fs = self.p.frames_seen
+            tracks, vis = tracks[:, :fs], vis[:, :fs]
         return tracks, vis

@@ -53,6 +53,10 @@ def build_cotracker(
             dtype=jnp.bfloat16, corr_chunk=2048,
             use_pallas_corr=True, corr_quant_int8=True, corr_fuse_combine=True,
             fold_input_proj=True, use_pallas_attn=True, attn_quant_int8=True,
+            # long-video guard: beyond 64 frames the 8x shifted-copy prepack
+            # is built per 64-frame slab inside the iteration instead of
+            # whole-video (bounds live prepack memory; <= 64 is unaffected)
+            prepack_t_slab=64,
         ) if fast else dict(dtype=dtype)
         model = CoTrackerThree(
             window_len=window_len, model_resolution=model_resolution, **fast_kw

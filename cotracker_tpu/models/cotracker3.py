@@ -219,6 +219,13 @@ class IterationCore(nn.Module):
     # track-sharded fast path, parallel/mesh.py): threads down to the
     # virtual<-points psum softmax. None = unsharded.
     track_axis: Optional[str] = None
+    # prepack-memory guard for long-T offline videos: when T exceeds this,
+    # the 8 x-shifted fmap copies are built per T-slab INSIDE the iteration
+    # (recomputed each iter) instead of once for the whole video — bounding
+    # the live prepack to ~slab/T of the full footprint (~23 MB/frame at
+    # 384x512 across levels; a T=240 video would otherwise hold 5.6 GB of
+    # copies through the whole forward). fold_input_proj fast path only.
+    prepack_t_slab: Optional[int] = None
     # fold the updateformer input projection into the correlation epilogue:
     # token = sum_lvl gelu(h_lvl) @ (w2 @ Win[lvl rows]) + small terms, so
     # the (B,N,T,1024) corr-emb concat, the (B,N,T,1110) input concat, and
@@ -297,32 +304,69 @@ class IterationCore(nn.Module):
                     s.transpose(0, 2, 1, 3) for s in support_pyramid
                 ]
 
-                def extra_fn(vis_c, conf_c, rel_c):
-                    # non-correlation token terms, per chunk: rank-1 logit
-                    # rows, the 84-d rel-emb matmul, projected time
-                    # embedding, input bias
-                    remb = posenc(rel_c, min_deg=0, max_deg=10)
-                    return (
-                        vis_c[..., None].astype(jnp.float32) * kin[0]
-                        + conf_c[..., None].astype(jnp.float32) * kin[1]
-                        + jnp.einsum(
-                            "bntr,rk->bntk", remb.astype(cd), krel.astype(cd),
-                            preferred_element_type=jnp.float32,
+                def make_extra_fn(tp):
+                    def extra_fn(vis_c, conf_c, rel_c):
+                        # non-correlation token terms, per chunk: rank-1
+                        # logit rows, the 84-d rel-emb matmul, projected
+                        # time embedding, input bias
+                        remb = posenc(rel_c, min_deg=0, max_deg=10)
+                        return (
+                            vis_c[..., None].astype(jnp.float32) * kin[0]
+                            + conf_c[..., None].astype(jnp.float32) * kin[1]
+                            + jnp.einsum(
+                                "bntr,rk->bntk", remb.astype(cd),
+                                krel.astype(cd),
+                                preferred_element_type=jnp.float32,
+                            )
+                            + tp
+                            + bin_
                         )
-                        + time_proj
-                        + bin_
+
+                    return extra_fn
+
+                vis_nt = vis.transpose(0, 2, 1)
+                conf_nt = conf.transpose(0, 2, 1)
+                slab_mode = fmaps_pyramid[0].ndim == 5  # raw maps: iterate
+                # skipped the whole-video prepack (prepack_t_slab guard)
+                if slab_mode:
+                    from cotracker_tpu.ops.kernels.corr_pallas import (
+                        build_shifted_fmaps,
                     )
 
-                x = self.corr_mlp(
-                    list(fmaps_pyramid), sup_list, coords.astype(cd),
-                    fold_matrix=slices, all_levels=True,
-                    extra_ops=(
-                        vis.transpose(0, 2, 1),
-                        conf.transpose(0, 2, 1),
-                        rel,
-                    ),
-                    extra_fn=extra_fn,
-                )
+                    ts = self.prepack_t_slab
+                    parts = []
+                    for si in range(0, T, ts):
+                        sl = min(ts, T - si)
+                        packed = [
+                            build_shifted_fmaps(
+                                f[:, si : si + sl], self.corr_radius,
+                                cd, quant_int8=self.corr_quant_int8,
+                            )
+                            for f in fmaps_pyramid
+                        ]
+                        parts.append(
+                            self.corr_mlp(
+                                packed, sup_list,
+                                coords[:, si : si + sl].astype(cd),
+                                fold_matrix=slices, all_levels=True,
+                                extra_ops=(
+                                    vis_nt[:, :, si : si + sl],
+                                    conf_nt[:, :, si : si + sl],
+                                    rel[:, :, si : si + sl],
+                                ),
+                                extra_fn=make_extra_fn(
+                                    time_proj[:, :, si : si + sl]
+                                ),
+                            )
+                        )
+                    x = jnp.concatenate(parts, axis=2)
+                else:
+                    x = self.corr_mlp(
+                        list(fmaps_pyramid), sup_list, coords.astype(cd),
+                        fold_matrix=slices, all_levels=True,
+                        extra_ops=(vis_nt, conf_nt, rel),
+                        extra_fn=make_extra_fn(time_proj),
+                    )
             else:
                 x = None
                 for i in range(self.corr_levels):
@@ -433,6 +477,9 @@ class CoTrackerThree(nn.Module):
     # (parallel/mesh.py track-sharded fast path). The Pallas kernels then run
     # per shard on local N and the only collective is the virtual-token psum.
     track_axis: Optional[str] = None
+    # long-video prepack guard (see IterationCore.prepack_t_slab); engaged
+    # only when T > prepack_t_slab, so bench/window shapes are untouched
+    prepack_t_slab: Optional[int] = None
     # make the Pallas corr featurizer differentiable (Pallas forward, XLA-vjp
     # backward — see corr_pallas.fused_corr_embs_pallas_trainable): training
     # configs set this together with use_pallas_corr. Off by default so the
@@ -479,6 +526,7 @@ class CoTrackerThree(nn.Module):
             use_pallas_attn=self.use_pallas_attn,
             attn_quant_int8=self.attn_quant_int8,
             track_axis=self.track_axis,
+            prepack_t_slab=self.prepack_t_slab,
             fold_input_proj=self.fold_input_proj,
             name="iter_core",
         )
@@ -570,7 +618,14 @@ class CoTrackerThree(nn.Module):
         )
         T = fmaps_pyramid[0].shape[1]
         time_emb = self.interpolate_time_embed(T)
-        if self.use_pallas_corr:
+        slab_mode = (
+            self.use_pallas_corr
+            and self.prepack_t_slab is not None
+            and T > self.prepack_t_slab
+            and self.fold_input_proj
+            and not self.corr_pallas_grad
+        )
+        if self.use_pallas_corr and not slab_mode:
             # hoist the kernel's padded x-shifted copies out of the scan body;
             # with corr_pallas_grad each level becomes a (packed, raw) pair —
             # the raw map is the gradient channel of the differentiable
@@ -880,22 +935,37 @@ class CoTrackerThree(nn.Module):
         qf = queried_frames
         sample_mask = ((qf >= left) & (qf < right))[:, None, :, None].astype(self.dtype)
 
-        new_feat, new_support = [], []
-        for i, fmaps_lvl in enumerate(fmaps_pyramid):
-            f, s = get_track_feat(
-                fmaps_lvl,
-                queried_frames - ind.astype(jnp.float32),
-                queried_coords / 2**i,
-                self.corr_radius,
-            )
-            # keep the streaming state in compute dtype: the bilinear blend
-            # promotes to f32, which would flip the carry dtype (recompile)
-            # and make every support temp f32 (the quasi-dense OOM driver) —
-            # cast BEFORE the mask multiply so no f32 full-size temp exists
-            f = f.astype(self.dtype)
-            s = s.astype(self.dtype)
-            new_feat.append(state.track_feat[i] + f * sample_mask)
-            new_support.append(state.track_support[i] + s * sample_mask)
+        def sample_and_accumulate(carry):
+            feat, support = carry
+            new_feat, new_support = [], []
+            for i, fmaps_lvl in enumerate(fmaps_pyramid):
+                f, s = get_track_feat(
+                    fmaps_lvl,
+                    queried_frames - ind.astype(jnp.float32),
+                    queried_coords / 2**i,
+                    self.corr_radius,
+                )
+                # keep the streaming state in compute dtype: the bilinear
+                # blend promotes to f32, which would flip the carry dtype
+                # (recompile) and make every support temp f32 (the
+                # quasi-dense OOM driver) — cast BEFORE the mask multiply so
+                # no f32 full-size temp exists
+                f = f.astype(self.dtype)
+                s = s.astype(self.dtype)
+                new_feat.append(feat[i] + f * sample_mask)
+                new_support.append(support[i] + s * sample_mask)
+            return tuple(new_feat), tuple(new_support)
+
+        # once every query's window has passed, sample_mask is all-zero and
+        # the accumulate is a numeric no-op — but it would still gather and
+        # stream ~(1+49) x N x C per level through HBM every step (5.5 GB at
+        # quasi-dense N). Steady streaming (all queries absorbed) skips it.
+        new_feat, new_support = jax.lax.cond(
+            jnp.any(sample_mask > 0),
+            sample_and_accumulate,
+            lambda carry: carry,
+            (state.track_feat, state.track_support),
+        )
 
         # warm start from the overlap with the previous window
         # (reference cotracker3_online.py:456-482)

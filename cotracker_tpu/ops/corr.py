@@ -33,12 +33,75 @@ clipped read in every region.  Coordinates beyond the clamp range have every
 tap saturated at the border, so clamping the coordinate first is exact.
 """
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 F32 = jnp.float32
+
+
+@functools.lru_cache(maxsize=None)
+def _window_gather(win: int):
+    """Window gather with a hand-written transpose.
+
+    Forward: per (bt, n) dynamic-slice of a (win, win, C) window — XLA lowers
+    vmapped dynamic_slice to contiguous-row reads (~5x faster than a row
+    gather on this TPU). Its AUTODIFF transpose, however, is a vmapped
+    dynamic_update_slice-add that XLA serializes into a while loop of one
+    tiny 32 KB update per (t, n) — measured ~6.7 GB/s effective, the
+    dominant cost of the whole training step (~60 ms/level-iter at the
+    reference training shape). The custom backward scatters instead with ONE
+    batched `.at[rows].add()` over flat row segments (row r of window (y, x)
+    = flat pixels (y+r)*Wp + x .. +win), which XLA vectorizes — measured
+    ~6x faster net of dispatch.
+
+    starts are passed as f32 (floored ints) so custom_vjp treats them as
+    differentiable operands with zero cotangent — their true gradient is
+    zero/undefined (integer window origins).
+    """
+
+    @jax.custom_vjp
+    def gather(fmaps_p, starts_f):
+        # fmaps_p (BT, Hp, Wp, C); starts_f (BT, N, 2) f32 (x, y) ints
+        def one(f_bt, st):
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(
+                    f_bt,
+                    (s[1].astype(jnp.int32), s[0].astype(jnp.int32), 0),
+                    (win, win, f_bt.shape[-1]),
+                )
+            )(st)
+
+        return jax.vmap(one)(fmaps_p, starts_f)
+
+    def fwd(fmaps_p, starts_f):
+        # 0-sized token carries the primal's static shape/dtype through the
+        # residuals (residual leaves must be JAX types, not raw dtypes)
+        token = jnp.zeros((0,) + fmaps_p.shape, fmaps_p.dtype)
+        return gather(fmaps_p, starts_f), (starts_f, token)
+
+    def bwd(res, ct):
+        starts_f, token = res
+        BT, Hp, Wp, C = token.shape[1:]
+        dtype = token.dtype
+        xs = starts_f[..., 0].astype(jnp.int32)  # (BT, N)
+        ys = starts_f[..., 1].astype(jnp.int32)
+        dy = jnp.arange(win, dtype=jnp.int32)
+        # flat pixel index of each window row start, then each column
+        row = (ys[:, :, None] + dy[None, None, :]) * Wp + xs[:, :, None]
+        idx = row[..., None] + dy[None, None, None, :]  # (BT, N, win, win)
+        bt_ix = jnp.arange(BT)[:, None, None, None]
+        flat = jnp.zeros((BT, Hp * Wp, C), F32)
+        flat = flat.at[bt_ix, idx].add(ct.astype(F32))
+        return (
+            flat.reshape(BT, Hp, Wp, C).astype(dtype),
+            jnp.zeros_like(starts_f),
+        )
+
+    gather.defvjp(fwd, bwd)
+    return gather
 
 
 def window_starts_and_weights(coords, radius: int, height: int, width: int):
@@ -149,15 +212,15 @@ def fused_corr_embs(
         # coords_c (B, T, n, 2); support_c (B, n, P*P, C)
         wsx, wsy, wx, wy = window_starts_and_weights(coords_c, radius, H, W)
 
-        # windows (B, T, n, WIN(y), WIN(x), C) via per-point dynamic slices —
-        # XLA lowers vmapped dynamic_slice to contiguous-row reads, ~5x faster
-        # than an equivalent row gather on TPU
-        def win_one(f_bt, xs, ys):
-            return jax.vmap(
-                lambda x, y: jax.lax.dynamic_slice(f_bt, (y, x, 0), (WIN, WIN, C))
-            )(xs, ys)
-
-        win = jax.vmap(jax.vmap(win_one))(fmaps_p, wsx, wsy)
+        # windows (B, T, n, WIN(y), WIN(x), C) via per-point dynamic slices
+        # (contiguous-row reads) with a hand-written vectorized scatter-add
+        # transpose — see _window_gather
+        n = coords_c.shape[2]
+        starts_f = jnp.stack([wsx, wsy], axis=-1).astype(F32)
+        win = _window_gather(WIN)(
+            fmaps_p.reshape(B * T, *fmaps_p.shape[2:]),
+            starts_f.reshape(B * T, n, 2),
+        ).reshape(B, T, n, WIN, WIN, C)
 
         sup = support_c.astype(compute_dtype)  # (B, n, P*P, C)
         # raw window-vs-support correlation: (B, T, n, WIN(y), WIN(x), P*P(s));

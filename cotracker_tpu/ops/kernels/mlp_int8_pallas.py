@@ -554,7 +554,7 @@ def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
 
 def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
                           num_heads: int, dim_head: int, eps: float = 1e-6,
-                          track_block: int = 16, interpret: bool = False):
+                          track_block=None, interpret: bool = False):
     """Full pre-norm time-attention block body in one pass over the tokens:
 
         q, kv = to_q(ln(x)), to_kv(ln(x)); a = per-track attention over T
@@ -567,6 +567,15 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
     """
     M, T, C = x.shape
     H = w1.shape[1]
+    if track_block is None:
+        # grow the track tile until each grid step carries >= ~768 tokens:
+        # at short windows (T=16, the online/quasi-dense shape) the old
+        # fixed TB=16 left 256-token steps whose per-step overheads
+        # (activation quantize, LN, attention repack) dominated — measured
+        # 3.4x worse per token than the T=60 offline shape
+        track_block = 16
+        while track_block * T < 768 and track_block < 128 and M % (2 * track_block) == 0:
+            track_block *= 2
     if C != num_heads * dim_head or C % 128 or H % 128 or M % track_block:
         return None
     tokens = track_block * T

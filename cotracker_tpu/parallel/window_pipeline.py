@@ -36,11 +36,20 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_window_mesh(n_stages: Optional[int] = None, devices=None) -> Mesh:
-    """1-D ("window",) mesh over `n_stages` devices (all by default)."""
+def make_window_mesh(
+    n_stages: Optional[int] = None, devices=None, n_track: int = 1
+) -> Mesh:
+    """("window",) mesh over `n_stages` devices (all by default); with
+    n_track > 1, a 2-D ("window", "track") mesh — pipeline stages over the
+    first axis, track sharding within each stage over the second (pass a
+    model built with track_axis="track" to window_pipeline_forward)."""
     devices = list(devices if devices is not None else jax.devices())
-    if n_stages is not None:
-        devices = devices[:n_stages]
+    total = (n_stages or (len(devices) // n_track)) * n_track
+    devices = devices[:total]
+    if n_track > 1:
+        return Mesh(
+            np.asarray(devices).reshape(-1, n_track), ("window", "track")
+        )
     return Mesh(np.asarray(devices), ("window",))
 
 
@@ -48,7 +57,18 @@ def window_pipeline_forward(model, mesh: Mesh, iters: int = 4):
     """Build a jitted pipelined equivalent of `model.forward_windows`.
 
     model: a CoTrackerThree built with the ONLINE window length (e.g. 16).
-    mesh: a ("window",) mesh from make_window_mesh.
+    mesh: a ("window",) mesh from make_window_mesh — or a 2-D
+    ("window", "track") mesh, in which case the model must be built with
+    track_axis="track": each stage then also shards its N axis, the
+    virtual<-points psum rides "track" inside the stage, and the support
+    routing psum stays on "window" (the two collectives compose; N must
+    divide by the track-axis size).
+
+    Single-video (B=1) note: the warm-start chain is inherently sequential,
+    so a B=1 video gains only the frame-parallel fnet from the "window"
+    axis (~10% of a window's work) — the pipeline is a BATCH-throughput
+    tool (utilization B/(B+stages-1)). For single-video scaling, shard
+    tracks instead (the "track" axis / parallel.mesh fast path).
 
     Returns fn(params, video, queries, track_mask=None) ->
     (coords (B,T,N,2) px, vis (B,T,N), conf (B,T,N) probabilities), equal to
@@ -58,7 +78,7 @@ def window_pipeline_forward(model, mesh: Mesh, iters: int = 4):
     S = model.window_len
     step = S // 2
     overlap = S - step
-    Sd = int(mesh.devices.size)
+    Sd = int(dict(zip(mesh.axis_names, mesh.devices.shape))["window"])
     stride = model.stride
     F32 = jnp.float32
 
@@ -231,11 +251,24 @@ def window_pipeline_forward(model, mesh: Mesh, iters: int = 4):
             ]
         )  # (Sd, B, L, H, W, 3)
 
+        tracked = "track" in mesh.axis_names
+        if tracked:
+            assert getattr(model, "track_axis", None) == "track", (
+                "2-D (window, track) mesh needs a model built with "
+                "track_axis='track' (the in-stage v2p psum axis)"
+            )
+        qspec = P(None, "track", None) if tracked else P()
+        mspec = P(None, "track") if tracked else P()
+        tspec = ("track",) if tracked else ()
         body = jax.shard_map(
             lambda p, sl, q, m: stage_fn(p, sl, q, m, wloc, num_windows),
             mesh=mesh,
-            in_specs=(P(), P("window"), P(), P()),
-            out_specs=P("window"),
+            in_specs=(P(), P("window"), qspec, mspec),
+            out_specs=(
+                P("window", None, None, *tspec, None),
+                P("window", None, None, *tspec),
+                P("window", None, None, *tspec),
+            ),
             check_vma=False,
         )
         tm = track_mask if track_mask is not None else jnp.ones(

@@ -257,6 +257,15 @@ class CoTrackerOnlinePredictor:
         v2: bool = False,
         model_resolution: Tuple[int, int] = (384, 512),
         fast: bool = False,  # TPU hot path: bf16 + Pallas kernels + int8 corr
+        # return FIXED-SHAPE full-capacity prediction buffers from every
+        # step instead of the reference's growing [0, frames_seen) slice.
+        # The growing slice compiles a fresh slice/rescale/threshold
+        # executable per step (its shape changes every window) — on a
+        # remote-compile backend that costs seconds per step at quasi-dense
+        # N (the round-2 81k pf/s mystery). With full buffers the whole
+        # postprocess is ONE cached jit; read `frames_seen` and slice once
+        # at the end of the stream.
+        return_full_buffers: bool = False,
     ):
         self.v2 = v2
         # fast path: the fused space kernels tile N and want a multiple of
@@ -271,12 +280,20 @@ class CoTrackerOnlinePredictor:
         self.interp_shape = self.model.model_resolution
         self.step = self.model.window_len // 2
         self.capacity = capacity
+        self.return_full_buffers = return_full_buffers
         self._jit_step = None
         self._state = None
         self._queries = None
         self._n_user = 0
         self._frames_seen = 0
+        self._ind_host = 0
         self._orig_hw = None
+
+    @property
+    def frames_seen(self) -> int:
+        """Frames covered by predictions so far — the valid prefix of the
+        full-capacity buffers when return_full_buffers is set."""
+        return self._frames_seen
 
     def __call__(
         self,
@@ -287,12 +304,14 @@ class CoTrackerOnlinePredictor:
         grid_query_frame: int = 0,
         add_support_grid: bool = False,
     ):
-        B, T, C, H, W = np.asarray(video_chunk).shape if not is_first_step else video_chunk.shape
+        B, T, C, H, W = video_chunk.shape
         ih, iw = self.interp_shape
 
         if is_first_step:
             self._state = None
+            self._jit_step = None
             self._frames_seen = 0
+            self._ind_host = 0
             self._orig_hw = (H, W)
             if queries is not None:
                 q = np.array(queries, dtype=np.float32, copy=True)
@@ -326,12 +345,21 @@ class CoTrackerOnlinePredictor:
 
         H0, W0 = self._orig_hw
         S = self.model.window_len
-        chunk = np.asarray(video_chunk, dtype=np.float32)
-        T_true = chunk.shape[1]
+        T_true = video_chunk.shape[1]
         assert T_true <= S, "Online mode: video chunk must be <= window size."
-        if T_true < S:  # pad with the last frame (reference cotracker3_online.py:320-328)
-            pad = np.repeat(chunk[:, -1:], S - T_true, axis=1)
-            chunk = np.concatenate([chunk, pad], axis=1)
+        if isinstance(video_chunk, jnp.ndarray):
+            # device-resident chunks stay on device (a np.asarray here would
+            # pull ~50 MB/window back over the host link at 384x512)
+            chunk = video_chunk.astype(jnp.float32)
+            if T_true < S:
+                pad = jnp.repeat(chunk[:, -1:], S - T_true, axis=1)
+                chunk = jnp.concatenate([chunk, pad], axis=1)
+        else:
+            chunk = np.asarray(video_chunk, dtype=np.float32)
+            if T_true < S:  # pad with the last frame (reference :320-328)
+                pad = np.repeat(chunk[:, -1:], S - T_true, axis=1)
+                chunk = np.concatenate([chunk, pad], axis=1)
+            chunk = jnp.asarray(chunk)
 
         model_cls = type(self.model)
         if self._state is None:
@@ -343,10 +371,15 @@ class CoTrackerOnlinePredictor:
                 method=model_cls.online_init,
             )
         if self._jit_step is None:
+            n = self._n_user
+            scale = np.asarray(
+                [(W0 - 1) / (iw - 1), (H0 - 1) / (ih - 1)], np.float32
+            )
+
             def step_fn(params, state, chunk, queries, track_mask):
                 chunk = chunk.transpose(0, 1, 3, 4, 2)
                 chunk = resize_bilinear(chunk, self.interp_shape, align_corners=True)
-                return self.model.apply(
+                out = self.model.apply(
                     {"params": params},
                     state,
                     chunk,
@@ -355,13 +388,26 @@ class CoTrackerOnlinePredictor:
                     track_mask=track_mask,
                     method=model_cls.online_step,
                 )
+                # postprocess at FULL capacity shape inside the same jit
+                # (reference predictor.py:297-309 semantics): one compiled
+                # executable regardless of how many frames the stream has
+                # seen — the growing [0, frames_seen) view is sliced by the
+                # caller side instead
+                if self.v2:
+                    state, coords, vis = out
+                    visibility = vis[:, :, :n]
+                else:
+                    state, coords, vis, conf = out
+                    visibility = vis[:, :, :n] * conf[:, :, :n]
+                tracks = coords[:, :, :n] * jnp.asarray(scale)
+                return state, tracks, visibility > 0.6
 
             # donate the streaming state: its per-level track-support buffers
             # are the dominant allocation at quasi-dense N (3.5 GB at 70k
             # tracks) and the new state aliases them in place
             self._jit_step = jax.jit(step_fn, donate_argnums=(1,))
 
-        ind_before = int(self._state.ind)
+        ind_before = self._ind_host
         if ind_before + S > self.capacity:
             # the fixed prediction buffers would silently clamp+overwrite the
             # last window past capacity (dynamic_update_slice semantics)
@@ -371,23 +417,16 @@ class CoTrackerOnlinePredictor:
                 f"construct CoTrackerOnlinePredictor(capacity=...) to cover "
                 f"the stream length"
             )
-        out = self._jit_step(
-            self.params, self._state, jnp.asarray(chunk), self._queries, self._track_mask
+        self._state, tracks_full, vis_full = self._jit_step(
+            self.params, self._state, chunk, self._queries, self._track_mask
         )
-        if self.v2:
-            self._state, coords, vis = out
-            conf = None
-        else:
-            self._state, coords, vis, conf = out
+        self._ind_host = ind_before + self.step
         self._frames_seen = min(ind_before + T_true, self.capacity)
 
-        n = self._n_user
-        tracks = coords[:, : self._frames_seen, :n]
-        visibility = vis[:, : self._frames_seen, :n]
-        if conf is not None:  # v3 fuses vis * conf (reference predictor.py:297)
-            visibility = visibility * conf[:, : self._frames_seen, :n]
-        scale = jnp.asarray(
-            [(W0 - 1) / (self.interp_shape[1] - 1), (H0 - 1) / (self.interp_shape[0] - 1)],
-            jnp.float32,
+        if self.return_full_buffers:
+            # fixed-shape outputs, valid on [0, self.frames_seen)
+            return tracks_full, vis_full
+        return (
+            tracks_full[:, : self._frames_seen],
+            vis_full[:, : self._frames_seen],
         )
-        return tracks * scale, visibility > 0.6

@@ -7,7 +7,11 @@ real TPU. Run: python scripts/bench_train_step.py [--T 16] [--N 768]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -32,10 +36,13 @@ def build(use_pallas: bool, T: int, remat: bool, dtype=jnp.bfloat16):
     return model, params
 
 
-def time_step(model, params, T, N, iters, steps=3):
+def time_step(model, params, T, N, iters, steps=3, online=False):
     from cotracker_tpu.training.train_step import TrainConfig, make_optimizer, make_train_step
 
-    cfg = TrainConfig(iters=iters)
+    cfg = TrainConfig(
+        iters=iters, offline_model=not online,
+        sliding_window_len=model.window_len,
+    )
     tx, _ = make_optimizer(num_steps=100)
     opt_state = tx.init(params)
     step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0, 1))
@@ -50,17 +57,23 @@ def time_step(model, params, T, N, iters, steps=3):
     }
     key = jax.random.PRNGKey(0)
 
+    def sync(aux):
+        # force a real device->host readback: over remote-tunnel backends
+        # block_until_ready alone does NOT synchronize (the round-2 numbers
+        # measured dispatch, not execution)
+        return float(np.asarray(aux["total_loss"]))
+
     t0 = time.time()
     params, opt_state, aux = step(params, opt_state, key, batch)
-    jax.block_until_ready(aux["total_loss"])
+    loss = sync(aux)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for _ in range(steps):
         key, sub = jax.random.split(key)
         params, opt_state, aux = step(params, opt_state, sub, batch)
-    jax.block_until_ready(aux["total_loss"])
-    return compile_s, (time.time() - t0) / steps, float(aux["total_loss"])
+        loss = sync(aux)
+    return compile_s, (time.time() - t0) / steps, loss
 
 
 def main():
@@ -70,7 +83,25 @@ def main():
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--skip_xla", action="store_true")
     p.add_argument("--with_f32", action="store_true")
+    # online-16 training variant (forward_windows over seq_len T with
+    # window 16, the train_on_kubric online config; reference seq_len 24)
+    p.add_argument("--online", action="store_true")
     args = p.parse_args()
+
+    if args.online:
+        import json
+
+        model, params = build(True, 16, remat=True)
+        c, s, loss = time_step(
+            model, params, args.T, args.N, args.iters, online=True
+        )
+        print(f"pallas online w16   : {s * 1e3:8.1f} ms/step  (compile {c:.0f}s, loss {loss:.3f})")
+        print(json.dumps({
+            "metric": "train_step_ms", "variant": "online_w16_pallas",
+            "T": args.T, "N": args.N, "iters": args.iters,
+            "value": round(s * 1e3, 1), "unit": "ms/step",
+        }))
+        return
 
     # both arms run bf16 so the delta isolates the kernel (the Pallas arm
     # additionally quantizes corr windows to int8 — noted in its label);
@@ -89,6 +120,13 @@ def main():
     model, params = build(True, args.T, remat=True)
     c, s, loss = time_step(model, params, args.T, args.N, args.iters)
     print(f"pallas bf16+i8corr  : {s * 1e3:8.1f} ms/step  (compile {c:.0f}s, loss {loss:.3f})")
+    import json
+
+    print(json.dumps({
+        "metric": "train_step_ms", "variant": f"offline_T{args.T}_pallas",
+        "T": args.T, "N": args.N, "iters": args.iters,
+        "value": round(s * 1e3, 1), "unit": "ms/step",
+    }))
 
 
 if __name__ == "__main__":

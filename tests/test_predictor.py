@@ -322,3 +322,154 @@ class TestOnlineCapacityGuard:
         pred(video[:, 4:12])  # ind 4 -> window [4, 12) == capacity, ok
         with pytest.raises(ValueError, match="overflow"):
             pred(video[:, 8:16])  # ind 8 -> [8, 16) > 12
+
+
+def _damp_ref_heads(model, damp):
+    """Scale the torch model's update heads so the iterative chain is
+    contractive (the cross-implementation comparison regime used by
+    tests/test_window_pipeline.py — full-scale random weights amplify
+    implementation noise chaotically)."""
+    with torch.no_grad():
+        uf = model.updateformer
+        for head in (uf.flow_head, uf.vis_conf_head):
+            for lin in (head if isinstance(head, torch.nn.Sequential) else [head]):
+                if hasattr(lin, "weight"):
+                    lin.weight.mul_(damp)
+                    if lin.bias is not None:
+                        lin.bias.mul_(damp)
+
+
+def _fast_flags():
+    """The bf16+int8+fold corr fast path, interpret-mode on CPU. The
+    TPU-only attention kernels (use_pallas_attn / attn_quant_int8) have no
+    CPU interpret plumbing at the block level and small-N tests would gate
+    them off anyway; the corr quantization + fused-combine + folded input
+    projection are the numerics this pins (VERDICT r2 item 5)."""
+    return dict(
+        dtype=jnp.bfloat16,
+        use_pallas_corr=True,
+        corr_pallas_interpret=True,
+        corr_quant_int8=True,
+        corr_fuse_combine=True,
+        fold_input_proj=True,
+        corr_chunk=7,
+    )
+
+
+@requires_reference
+class TestFastPathPredictorParity:
+    """The inference fast path vs the REFERENCE torch predictor directly
+    (not vs our own f32 path), in a damped/contractive weight regime so the
+    comparison is meaningful across implementations: asserts median/max
+    drift bands and visibility-decision agreement."""
+
+    DAMP = 0.05
+
+    def test_offline_fast_path(self):
+        from cotracker_tpu.models.cotracker3 import CoTrackerThree
+
+        ref = _make_ref_predictor()
+        _damp_ref_heads(ref.model, self.DAMP)
+        ours = _make_ours(ref)
+        ours.model = CoTrackerThree(
+            window_len=12, model_resolution=RES, **_fast_flags()
+        )
+        ours._jit_cache = {}
+
+        rng = np.random.default_rng(40)
+        video = (rng.random((1, 10, 3, 36, 52)) * 255).astype(np.float32)
+        with torch.no_grad():
+            ref_tracks, ref_vis = ref(torch.from_numpy(video), grid_size=4)
+        tracks, vis = ours(video, grid_size=4)
+
+        err = np.linalg.norm(np.asarray(tracks) - ref_tracks.numpy(), axis=-1)
+        assert np.median(err) < 0.05, np.median(err)
+        assert err.max() < 0.5, err.max()
+        agree = (np.asarray(vis) == ref_vis.numpy()).mean()
+        assert agree > 0.99, agree
+
+    def test_online_fast_path(self):
+        from cotracker.predictor import CoTrackerOnlinePredictor as RefOnline
+        from cotracker.models.core.cotracker.cotracker3_online import (
+            CoTrackerThreeOnline,
+        )
+        from cotracker_tpu.models.cotracker3 import CoTrackerThree
+
+        window_len = 8
+        torch.manual_seed(41)
+        model = CoTrackerThreeOnline(
+            stride=4, corr_radius=3, window_len=window_len, model_resolution=RES
+        ).eval()
+        _damp_ref_heads(model, self.DAMP)
+        ref = RefOnline.__new__(RefOnline)
+        torch.nn.Module.__init__(ref)
+        ref.v2 = False
+        ref.support_grid_size = 6
+        ref.interp_shape = RES
+        ref.step = window_len // 2
+        ref.model = model
+
+        ours = CoTrackerOnlinePredictor(
+            window_len=window_len, capacity=64, model_resolution=RES
+        )
+        ours.params = import_torch_state_dict(model.state_dict())
+        ours.model = CoTrackerThree(
+            window_len=window_len, model_resolution=RES, **_fast_flags()
+        )
+        ours._jit_cache = {}
+
+        rng = np.random.default_rng(42)
+        T = 20
+        video = (rng.random((1, T, 3, 36, 52)) * 255).astype(np.float32)
+
+        with torch.no_grad():
+            ref(torch.from_numpy(video[:, :1]), is_first_step=True, grid_size=3)
+            for ind in range(0, T - ref.step, ref.step):
+                ref_tracks, ref_vis = ref(
+                    torch.from_numpy(video[:, ind : ind + window_len])
+                )
+
+        ours(video[:, :1], is_first_step=True, grid_size=3)
+        for ind in range(0, T - ours.step, ours.step):
+            tracks, vis = ours(video[:, ind : ind + window_len])
+
+        err = np.linalg.norm(np.asarray(tracks) - ref_tracks.numpy(), axis=-1)
+        assert np.median(err) < 0.05, np.median(err)
+        assert err.max() < 1.0, err.max()
+        agree = (np.asarray(vis) == ref_vis.numpy()).mean()
+        assert agree > 0.99, agree
+
+
+class TestOnlineFullBuffers:
+    """return_full_buffers: fixed-shape outputs (one cached executable per
+    stream instead of a per-window recompile of the growing slice — the
+    remote-compile quasi-dense throughput fix) must agree exactly with the
+    default growing outputs, including for device-resident chunks."""
+
+    def test_matches_default_outputs(self):
+        window_len = 8
+        rng = np.random.default_rng(50)
+        T = 20
+        video = (rng.random((1, T, 3, 36, 52)) * 255).astype(np.float32)
+
+        def drive(full, device_chunks):
+            p = CoTrackerOnlinePredictor(
+                window_len=window_len, capacity=64, model_resolution=RES,
+                return_full_buffers=full,
+            )
+            vid = jnp.asarray(video) if device_chunks else video
+            p(vid[:, :1], is_first_step=True, grid_size=3)
+            for ind in range(0, T - p.step, p.step):
+                tracks, vis = p(vid[:, ind : ind + window_len])
+            return p, np.asarray(tracks), np.asarray(vis)
+
+        # same seed -> same random init? No: init_params seeds identically
+        # inside build_cotracker(None) -> deterministic, so both predictors
+        # share weights.
+        p0, t0, v0 = drive(full=False, device_chunks=False)
+        p1, t1, v1 = drive(full=True, device_chunks=True)
+        fs = p1.frames_seen
+        assert fs == t0.shape[1]
+        assert t1.shape[1] == p1.capacity  # fixed shape
+        np.testing.assert_allclose(t1[:, :fs], t0, rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(v1[:, :fs], v0)

@@ -149,3 +149,55 @@ def test_track_mask_and_single_stage():
     np.testing.assert_allclose(
         np.asarray(c)[mc], np.asarray(ref_c)[mc], rtol=5e-2, atol=5e-2
     )
+
+
+def test_2d_window_track_mesh():
+    """("window", "track") 2-D mesh: stages pipeline the window chain while
+    each stage shards its N axis; the in-stage virtual<-points psum ("track")
+    composes with the support-routing psum ("window"). Damped regime ==
+    forward_windows at float tolerance."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual devices")
+    B, T = 2, 20
+    model, params, video, queries = _setup(B, T, damp=0.05)
+    sh_model = CoTrackerThree(
+        window_len=8, model_resolution=(32, 32), track_axis="track"
+    )
+
+    ref_c, ref_v, ref_f, _ = model.apply(
+        {"params": params}, video, queries, iters=2,
+        method=CoTrackerThree.forward_windows,
+    )
+    mesh = make_window_mesh(2, n_track=4)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "window": 2, "track": 4
+    }
+    c, v, f = window_pipeline_forward(sh_model, mesh, iters=2)(
+        params, video, queries
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(ref_c), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), rtol=1e-5, atol=1e-5)
+
+
+def test_moderate_weight_parity_banded():
+    """Undamped-ish regime (heads at 0.4x — update magnitudes comparable to
+    a trained checkpoint's contractive behavior, unlike full-scale random
+    weights whose chain amplifies compile-order noise chaotically): banded
+    agreement with forward_windows."""
+    B, T, stages = 1, 20, 2
+    if len(jax.devices()) < stages:
+        pytest.skip("needs virtual devices")
+    model, params, video, queries = _setup(B, T, seed=9, damp=0.4)
+
+    ref_c, ref_v, ref_f, _ = model.apply(
+        {"params": params}, video, queries, iters=2,
+        method=CoTrackerThree.forward_windows,
+    )
+    c, v, f = window_pipeline_forward(model, make_window_mesh(stages), iters=2)(
+        params, video, queries
+    )
+    err = np.abs(np.asarray(c) - np.asarray(ref_c))
+    assert np.median(err) < 0.05, np.median(err)
+    assert err.max() < 2.0, err.max()
+    agree = np.mean((np.asarray(v) > 0.5) == (np.asarray(ref_v) > 0.5))
+    assert agree > 0.97, agree
