@@ -31,6 +31,7 @@ def bench_mesh(n_dev, args):
     from cotracker_tpu.models.build import init_params
     from cotracker_tpu.parallel.mesh import (
         BATCH_PSPECS,
+        make_fast_sharded_train_step,
         make_mesh,
         replicate,
         shard_batch,
@@ -43,8 +44,18 @@ def bench_mesh(n_dev, args):
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    fast_kw = {}
+    if args.fast:
+        # the tuned kernel path under shard_map (pallas is not
+        # GSPMD-partitionable); interpret mode on CPU backends
+        fast_kw = dict(
+            use_pallas_corr=True, corr_pallas_grad=True,
+            remat_iterations=True, corr_chunk=2048,
+            corr_quant_int8=jax.devices()[0].platform != "cpu",
+            corr_pallas_interpret=jax.devices()[0].platform == "cpu",
+        )
     model = CoTrackerThree(
-        window_len=args.T, model_resolution=(args.H, args.W)
+        window_len=args.T, model_resolution=(args.H, args.W), **fast_kw
     )
     params = init_params(model)
     cfg = TrainConfig(iters=args.iters)
@@ -71,18 +82,28 @@ def bench_mesh(n_dev, args):
         sstep = jax.jit(step)
     else:
         mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
-        sstep = sharded_train_step(step, mesh)
+        if args.fast:
+            sstep = make_fast_sharded_train_step(
+                model.clone(track_axis="track"), tx, cfg, mesh
+            )
+        else:
+            sstep = sharded_train_step(step, mesh)
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
         batch = {k: shard_batch(mesh, v, BATCH_PSPECS[k]) for k, v in batch.items()}
         key = jax.device_put(key, NamedSharding(mesh, P()))
 
+    def sync(aux):
+        # forced readback: block_until_ready does not synchronize over
+        # remote-tunnel backends (see BASELINE.md round-3 notes)
+        return float(np.asarray(aux["total_loss"]))
+
     params, opt_state, aux = sstep(params, opt_state, key, batch)  # compile
-    jax.block_until_ready(aux["total_loss"])
+    sync(aux)
     t0 = time.time()
     for _ in range(args.steps):
         params, opt_state, aux = sstep(params, opt_state, key, batch)
-    jax.block_until_ready(aux["total_loss"])
+        sync(aux)
     dt = (time.time() - t0) / args.steps
     frames = B * args.T
     return {
@@ -108,6 +129,8 @@ def main():
     p.add_argument("--max_data", type=int, default=4)
     p.add_argument("--mechanics", action="store_true",
                    help="virtual-device run: report mechanics only")
+    p.add_argument("--fast", action="store_true",
+                   help="Pallas/int8 path via the shard_map fast train step")
     args = p.parse_args()
 
     n = len(jax.devices())
