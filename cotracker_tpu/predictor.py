@@ -266,6 +266,12 @@ class CoTrackerOnlinePredictor:
         # postprocess is ONE cached jit; read `frames_seen` and slice once
         # at the end of the stream.
         return_full_buffers: bool = False,
+        # shard the N (tracks) axis of the streaming step over the "track"
+        # axis of this jax.sharding.Mesh: the Pallas/int8 kernels run per
+        # shard on local N inside jax.shard_map and the virtual<-points
+        # psum is the only collective (SURVEY §2.7-2 — quasi-dense 265x265
+        # sharded across chips). N pads to a multiple of bucket*track_size.
+        mesh=None,
     ):
         self.v2 = v2
         # fast path: the fused space kernels tile N and want a multiple of
@@ -277,6 +283,15 @@ class CoTrackerOnlinePredictor:
             checkpoint, offline=False, window_len=window_len, dtype=dtype,
             model_resolution=model_resolution, v2=v2, fast=fast,
         )
+        self.mesh = mesh
+        if mesh is not None:
+            assert not v2, "track-sharded streaming is v3-only"
+            assert "track" in mesh.axis_names, mesh.axis_names
+            self._track_size = int(
+                dict(zip(mesh.axis_names, mesh.devices.shape))["track"]
+            )
+            self._n_bucket = self._n_bucket * self._track_size
+            self._smodel = self.model.clone(track_axis="track")
         self.interp_shape = self.model.model_resolution
         self.step = self.model.window_len // 2
         self.capacity = capacity
@@ -294,6 +309,27 @@ class CoTrackerOnlinePredictor:
         """Frames covered by predictions so far — the valid prefix of the
         full-capacity buffers when return_full_buffers is set."""
         return self._frames_seen
+
+    def _state_spec(self):
+        """OnlineState partition specs: every per-track buffer sharded on
+        its N axis over "track"; the window index replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        from cotracker_tpu.models.cotracker3 import OnlineState
+
+        levels = self.model.corr_levels
+        return OnlineState(
+            ind=P(),
+            track_feat=tuple(
+                P(None, None, "track", None) for _ in range(levels)
+            ),
+            track_support=tuple(
+                P(None, None, "track", None) for _ in range(levels)
+            ),
+            coords=P(None, None, "track", None),
+            vis=P(None, None, "track"),
+            conf=P(None, None, "track"),
+        )
 
     def __call__(
         self,
@@ -370,24 +406,79 @@ class CoTrackerOnlinePredictor:
                 self.capacity,
                 method=model_cls.online_init,
             )
+            if self.mesh is not None:
+                # place the streaming state, queries and mask with tracks
+                # sharded over "track" so every step starts shard-resident
+                from jax.sharding import NamedSharding
+
+                spec = self._state_spec()
+                self._state = jax.device_put(
+                    self._state,
+                    jax.tree.map(
+                        lambda p: NamedSharding(self.mesh, p), spec,
+                        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+                    ),
+                )
+                from jax.sharding import PartitionSpec as P
+
+                self._queries = jax.device_put(
+                    self._queries, NamedSharding(self.mesh, P(None, "track", None))
+                )
+                self._track_mask = jax.device_put(
+                    self._track_mask, NamedSharding(self.mesh, P(None, "track"))
+                )
         if self._jit_step is None:
             n = self._n_user
             scale = np.asarray(
                 [(W0 - 1) / (iw - 1), (H0 - 1) / (ih - 1)], np.float32
             )
 
+            if self.mesh is not None:
+                # track-sharded streaming core: the full online_step (incl.
+                # the Pallas kernels) runs per shard on local N inside
+                # shard_map; the virtual<-points psum (smodel.track_axis) is
+                # the only collective. fnet runs on the replicated chunk in
+                # every shard (~10% of a window's work).
+                from jax.sharding import PartitionSpec as P
+
+                smodel = self._smodel
+                state_spec = self._state_spec()
+                core = jax.shard_map(
+                    lambda p, st, ch, q, m: smodel.apply(
+                        {"params": p}, st, ch, q, iters=6, track_mask=m,
+                        method=model_cls.online_step,
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(
+                        P(), state_spec, P(), P(None, "track", None),
+                        P(None, "track"),
+                    ),
+                    out_specs=(
+                        state_spec,
+                        P(None, None, "track", None),
+                        P(None, None, "track"),
+                        P(None, None, "track"),
+                    ),
+                    check_vma=False,
+                )
+            else:
+                core = None
+
             def step_fn(params, state, chunk, queries, track_mask):
                 chunk = chunk.transpose(0, 1, 3, 4, 2)
                 chunk = resize_bilinear(chunk, self.interp_shape, align_corners=True)
-                out = self.model.apply(
-                    {"params": params},
-                    state,
-                    chunk,
-                    queries,
-                    iters=6,
-                    track_mask=track_mask,
-                    method=model_cls.online_step,
-                )
+                if core is not None:
+                    out = core(params, state, chunk, queries, track_mask)
+                else:
+                    out = self.model.apply(
+                        {"params": params},
+                        state,
+                        chunk,
+                        queries,
+                        iters=6,
+                        track_mask=track_mask,
+                        method=model_cls.online_step,
+                    )
                 # postprocess at FULL capacity shape inside the same jit
                 # (reference predictor.py:297-309 semantics): one compiled
                 # executable regardless of how many frames the stream has

@@ -27,6 +27,9 @@ def main():
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--fast", action="store_true", default=True)
     p.add_argument("--no-fast", dest="fast", action="store_false")
+    # shard the 70k tracks over this many chips (jax.shard_map; the
+    # virtual-token psum is the only collective) — needs that many devices
+    p.add_argument("--track_shards", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -43,9 +46,14 @@ def main():
     # slice recompiles a fresh executable per window (seconds each over a
     # remote-compile tunnel) and np chunks re-upload 50 MB per window —
     # neither is part of the tracker's actual work
+    mesh = None
+    if args.track_shards > 1:
+        from cotracker_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((1, args.track_shards))
     pred = CoTrackerOnlinePredictor(
         window_len=16, capacity=max(64, T + 16), fast=args.fast,
-        return_full_buffers=True,
+        return_full_buffers=True, mesh=mesh,
     )
     video_dev = jnp.asarray(video)
     grid = np.asarray(get_points_on_a_grid(args.grid, (H, W)))  # (1, grid^2, 2)

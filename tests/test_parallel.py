@@ -311,3 +311,53 @@ class TestShardedOnlineTrainStep:
         key = jax.device_put(jax.random.PRNGKey(0), NamedSharding(mesh, P2()))
         p2, o2, m2 = sstep(pp, oo, key, bb)
         assert np.isfinite(float(m2["total_loss"]))
+
+
+class TestShardedOnlinePredictor:
+    """CoTrackerOnlinePredictor(mesh=...): the streaming step runs inside
+    shard_map with the N axis (state buffers, queries, support) sharded over
+    "track" — the quasi-dense multi-chip path. Must equal the unsharded
+    predictor stream.
+
+    Update heads are DAMPED (contractive chain) so the cross-compilation
+    comparison is meaningful — at full random scale the warm-started window
+    chain amplifies f32 compile-order noise chaotically (same regime as
+    tests/test_window_pipeline.py)."""
+
+    @pytest.mark.parametrize("pallas", [False, True])
+    def test_matches_unsharded_stream(self, pallas):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from cotracker_tpu.predictor import CoTrackerOnlinePredictor
+
+        T = 20
+        rng = np.random.default_rng(60)
+        video = (rng.random((1, T, 3, 36, 52)) * 255).astype(np.float32)
+
+        def drive(mesh):
+            p = CoTrackerOnlinePredictor(
+                window_len=8, capacity=64, model_resolution=(48, 64),
+                mesh=mesh, return_full_buffers=True,
+            )
+            uf = p.params["iter_core"]["updateformer"]
+            for head in ("flow_head", "vis_conf_head"):
+                uf[head] = jax.tree.map(lambda a: a * 0.05, uf[head])
+            if pallas:
+                kw = dict(
+                    use_pallas_corr=True, corr_pallas_interpret=True,
+                    corr_chunk=4, fold_input_proj=True,
+                )
+                p.model = p.model.clone(**kw)
+                if mesh is not None:
+                    p._smodel = p._smodel.clone(**kw)
+            p(video[:, :1], is_first_step=True, grid_size=3)
+            for ind in range(0, T - p.step, p.step):
+                tracks, vis = p(video[:, ind : ind + 8])
+            fs = p.frames_seen
+            return np.asarray(tracks)[:, :fs], np.asarray(vis)[:, :fs]
+
+        t0, v0 = drive(None)
+        mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+        t1, v1 = drive(mesh)
+        np.testing.assert_allclose(t1, t0, rtol=1e-4, atol=5e-3)
+        assert (v1 == v0).mean() > 0.99
