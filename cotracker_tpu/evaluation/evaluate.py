@@ -82,6 +82,10 @@ def run_eval(cfg: DefaultConfig):
             cfg.checkpoint, window_len=cfg.window_len, v2=cfg.v2,
             model_resolution=model_resolution, capacity=cfg.online_capacity,
             fast=cfg.fast,
+            # fixed-shape outputs: the growing per-window slice would compile
+            # a fresh executable per window on remote-compile backends
+            # (OnlineWrapper slices the valid prefix at stream end)
+            return_full_buffers=True,
         )
         predictor = OnlineWrapper(online)
 

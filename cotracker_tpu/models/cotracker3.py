@@ -664,6 +664,51 @@ class CoTrackerThree(nn.Module):
 
     # ---------------------------------------------------------------- offline
 
+    def forward_from_pyramid(
+        self,
+        fmaps_pyramid,
+        queries,
+        iters: int = 4,
+        track_mask: Optional[jnp.ndarray] = None,
+        add_space_attn: bool = True,
+    ):
+        """Single-window forward given a precomputed feature pyramid:
+        support sampling + masking, cold carry init, scanned iterations.
+        Returns per-iteration (coords px, vis logits, conf logits) stacks.
+
+        Shared by the offline `__call__` and the track-sharded shard_map
+        body (parallel/mesh.py) so the sharded path cannot drift from the
+        unsharded semantics."""
+        B, N = queries.shape[0], queries.shape[1]
+        T = fmaps_pyramid[0].shape[1]
+        queried_frames = queries[..., 0].astype(jnp.float32)
+        queried_coords = queries[..., 1:3].astype(jnp.float32) / self.stride
+
+        _, track_support_pyramid = self.track_feat_pyramid(
+            fmaps_pyramid, queried_frames, queried_coords
+        )
+        if track_mask is not None:
+            track_support_pyramid = [
+                s * track_mask[:, None, :, None].astype(s.dtype)
+                for s in track_support_pyramid
+            ]
+
+        coords = jnp.broadcast_to(
+            queried_coords[:, None], (B, T, N, 2)
+        ).astype(jnp.float32)
+        vis = jnp.zeros((B, T, N), jnp.float32)
+        conf = jnp.zeros((B, T, N), jnp.float32)
+        return self.iterate(
+            fmaps_pyramid,
+            track_support_pyramid,
+            coords,
+            vis,
+            conf,
+            iters=iters,
+            track_mask=track_mask,
+            add_space_attn=add_space_attn,
+        )
+
     def __call__(
         self,
         video,
@@ -686,41 +731,15 @@ class CoTrackerThree(nn.Module):
         Mirrors reference CoTrackerThreeOffline.forward
         (cotracker3_offline.py:19-233).
         """
-        B, T, H, W, _ = video.shape
-        N = queries.shape[1]
-
-        queried_frames = queries[..., 0].astype(jnp.float32)
-        queried_coords = queries[..., 1:3].astype(jnp.float32) / self.stride
-
         # bound fnet activation memory on long videos (reference chunks 200
         # frames when not training, cotracker3_offline.py:81-91)
         fmaps = self.compute_fmaps(
             video, chunk_size=None if is_train else fmaps_chunk_size
         )
         fmaps_pyramid = self.build_pyramid(fmaps)
-        _, track_support_pyramid = self.track_feat_pyramid(
-            fmaps_pyramid, queried_frames, queried_coords
-        )
-        if track_mask is not None:
-            track_support_pyramid = [
-                s * track_mask[:, None, :, None].astype(s.dtype)
-                for s in track_support_pyramid
-            ]
-
-        coords = jnp.broadcast_to(queried_coords[:, None], (B, T, N, 2)).astype(jnp.float32)
-        vis = jnp.zeros((B, T, N), jnp.float32)
-        conf = jnp.zeros((B, T, N), jnp.float32)
-
-        coord_preds, vis_preds, conf_preds = self.iterate(
-            fmaps_pyramid,
-            track_support_pyramid,
-            coords,
-            vis,
-            conf,
-            iters=iters,
-            track_mask=track_mask,
+        coord_preds, vis_preds, conf_preds = self.forward_from_pyramid(
+            fmaps_pyramid, queries, iters=iters, track_mask=track_mask,
             add_space_attn=add_space_attn,
-            stop_grad_between_iters=is_train,
         )
 
         out_coords = coord_preds[-1]
@@ -729,6 +748,7 @@ class CoTrackerThree(nn.Module):
 
         train_data = None
         if is_train:
+            B, T, N = out_vis.shape
             valid_mask = jnp.ones((B, T, N), jnp.float32)
             train_data = (
                 coord_preds,

@@ -123,24 +123,13 @@ def _track_sharded_forward_shardmap(model, mesh: Mesh, iters: int = 6):
     mod_cls = type(model)
 
     def local_fn(params, pyr, queries, track_mask):
-        B, N = queries.shape[0], queries.shape[1]
-        T = pyr[0].shape[1]
-        qf = queries[..., 0].astype(jnp.float32)
-        qc = queries[..., 1:3].astype(jnp.float32) / model.stride
-
-        def apply(method, *args, **kw):
-            return model.apply({"params": params}, *args, method=method, **kw)
-
-        _, support = apply(mod_cls.track_feat_pyramid, pyr, qf, qc)
-        support = [
-            s * track_mask[:, None, :, None].astype(s.dtype) for s in support
-        ]
-        coords = jnp.broadcast_to(qc[:, None], (B, T, N, 2)).astype(jnp.float32)
-        vis = jnp.zeros((B, T, N), jnp.float32)
-        conf = jnp.zeros((B, T, N), jnp.float32)
-        cp, vp, fp = apply(
-            mod_cls.iterate, pyr, support, coords, vis, conf,
+        # the single-window forward glue (support sampling/masking, carry
+        # init, iterate) is the MODEL's forward_from_pyramid — shared with
+        # the unsharded __call__ so the two paths cannot drift
+        cp, vp, fp = model.apply(
+            {"params": params}, list(pyr), queries,
             iters=iters, track_mask=track_mask,
+            method=mod_cls.forward_from_pyramid,
         )
         return cp[-1], jax.nn.sigmoid(vp[-1]), jax.nn.sigmoid(fp[-1])
 

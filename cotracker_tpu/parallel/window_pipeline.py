@@ -257,6 +257,11 @@ def window_pipeline_forward(model, mesh: Mesh, iters: int = 4):
                 "2-D (window, track) mesh needs a model built with "
                 "track_axis='track' (the in-stage v2p psum axis)"
             )
+        else:
+            assert getattr(model, "track_axis", None) is None, (
+                "model.track_axis is set but the mesh has no 'track' axis — "
+                "its psum would hit an unbound axis inside the pipeline"
+            )
         qspec = P(None, "track", None) if tracked else P()
         mspec = P(None, "track") if tracked else P()
         tspec = ("track",) if tracked else ()

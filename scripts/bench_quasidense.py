@@ -66,10 +66,15 @@ def main():
     pred(video[:, :1], is_first_step=True, queries=queries)
     step = pred.step
 
+    def sync(tracks):
+        # forced scalar readback: block_until_ready does NOT synchronize
+        # over remote-tunnel backends (BASELINE.md round-3 notes)
+        return float(np.asarray(tracks[0, -1, 0, 0]))
+
     # first window: compile
     t0 = time.time()
     tracks, vis = pred(video_dev[:, 0 : 2 * step])
-    jax.block_until_ready(tracks)
+    sync(tracks)
     print(f"first window (compile): {time.time() - t0:.1f}s")
 
     windows = 0
@@ -77,7 +82,7 @@ def main():
     for ind in range(step, T - step, step):
         tracks, vis = pred(video_dev[:, ind : ind + 2 * step])
         windows += 1
-    jax.block_until_ready(tracks)
+    sync(tracks)
     dt = time.time() - t0
     # valid predictions live on [0, pred.frames_seen) of the full buffers
     tracks = tracks[:, : pred.frames_seen]
