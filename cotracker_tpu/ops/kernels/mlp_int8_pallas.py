@@ -552,6 +552,27 @@ def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
     o_ref[...] = jnp.concatenate(ys, axis=0).astype(o_ref.dtype)
 
 
+def _pick_time_tile(M, T):
+    """Track-tile size for the whole-block time kernel: target ~768-1536
+    tokens per grid step.
+
+    Grow at short windows (T=16, the online/quasi-dense shape: a fixed
+    TB=16 left 256-token steps whose per-step overheads — activation
+    quantize, LN, attention repack — measured 3.4x worse per token than the
+    T=60 offline shape) and SHRINK at long windows so the per-block VMEM
+    stack (x tile + (TB, Tp, 3C) attention scratch + MLP transients) stays
+    inside the 16 MB scoped limit (TB=16 at T=120 overflowed it by 4.4 MB).
+    Returns None when no tile fits (callers fall back to the XLA path)."""
+    tb = 16
+    while tb * T < 768 and tb < 128 and M % (2 * tb) == 0:
+        tb *= 2
+    while tb > 8 and tb * T > 1536 and M % (tb // 2) == 0:
+        tb //= 2
+    if tb * T > 2048 or M % tb:
+        return None
+    return tb
+
+
 def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
                           num_heads: int, dim_head: int, eps: float = 1e-6,
                           track_block=None, interpret: bool = False):
@@ -568,18 +589,21 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
     M, T, C = x.shape
     H = w1.shape[1]
     if track_block is None:
-        # grow the track tile until each grid step carries >= ~768 tokens:
-        # at short windows (T=16, the online/quasi-dense shape) the old
-        # fixed TB=16 left 256-token steps whose per-step overheads
-        # (activation quantize, LN, attention repack) dominated — measured
-        # 3.4x worse per token than the T=60 offline shape
-        track_block = 16
-        while track_block * T < 768 and track_block < 128 and M % (2 * track_block) == 0:
-            track_block *= 2
+        track_block = _pick_time_tile(M, T)
+        if track_block is None:
+            return None
     if C != num_heads * dim_head or C % 128 or H % 128 or M % track_block:
         return None
     tokens = track_block * T
-    mlp_chunks = 2 if tokens % 2 == 0 and tokens >= 512 else 1
+    # chunk the MLP so its (chunk, H) s32/f32 transients stay well inside
+    # the 16 MB scoped-VMEM stack alongside the attention scratch
+    mlp_chunks = 1
+    for c_ in range(1, 9):
+        if tokens % c_ == 0 and tokens // c_ <= 640:
+            mlp_chunks = c_
+            break
+    else:
+        return None
     wqq, sq = quantize_weight(wq)
     wkvq, skv = quantize_weight(wkv)
     woq, so = quantize_weight(wo)

@@ -798,3 +798,19 @@ class TestPrepackTSlab:
 
         assert max_pack_rows(None) == 8 * B * T  # whole-video copies
         assert max_pack_rows(16) == 8 * B * 16  # bounded to one slab
+
+
+class TestTimeTilePicker:
+    def test_pick_time_tile(self):
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import _pick_time_tile
+
+        # offline bench shape: unchanged tile
+        assert _pick_time_tile(10304, 60) == 16
+        # short online window: grows so steps carry >= ~768 tokens
+        assert _pick_time_tile(70720, 16) == 64
+        # long offline window: shrinks so the VMEM stack fits (T=120 at
+        # TB=16 overflowed the 16 MB scoped limit by 4.4 MB)
+        assert _pick_time_tile(512, 120) == 8
+        assert _pick_time_tile(512, 240) == 8
+        # beyond the fit window: fall back to the XLA path
+        assert _pick_time_tile(512, 480) is None
