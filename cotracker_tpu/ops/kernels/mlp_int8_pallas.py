@@ -40,6 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 NEG_BIG = -0.7 * jnp.finfo(jnp.float32).max
 
+# bench hook: force the scratch-copy repack even when the reshape path is
+# legal (scripts/bench_attnblock.py A/B comparison)
+_FORCE_PAD_REPACK = False
+
 
 def quantize_weight(w):
     """Per-output-channel symmetric int8 weight quantization.
@@ -480,19 +484,23 @@ def fused_space_block_int8(x, kv, wq, bq, wo, bo, w1, b1, w2, b2,
 
 def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
                        bkv_ref, wo_ref, so_ref, bo_ref, w1_ref, s1_ref,
-                       b1_ref, w2_ref, s2_ref, b2_ref, o_ref, qp, kvp,
-                       *, num_heads, dim_head, T, TB, eps, mlp_chunks):
+                       b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *scratch,
+                       num_heads, dim_head, T, TB, Tp, eps, mlp_chunks):
     """One track-tile of a full time-attention block.
 
     x (TB*T, C): the tile's tokens, flat (the (BN, T, C) HBM layout IS
     (BN*T, C) row-major, so flat 2D blocking is free). Token-wise ops run on
     the flat tile at full MXU width; for the per-track attention core the
-    q/kv tiles are repacked into (TB, Tp, ·) VMEM scratch (Tp = T padded to
-    a sublane tile), with padded key columns masked to -inf.
+    q/kv tiles are repacked into (TB, Tp, ·). When Tp == T and T is a
+    sublane-tile multiple (e.g. T=16 bf16 — the online/quasi-dense window)
+    the repack is a FREE reshape; otherwise q/kv go through VMEM scratch via
+    TB per-track copies (serial VPU work that scales with the total track
+    count — measured ~3.4x per-token overhead at T=16 before the reshape
+    path existed), with padded key columns masked to -inf.
     """
     C = num_heads * dim_head
     scale = dim_head**-0.5
-    Tp = qp.shape[1]
+    pad = Tp != T
     x32 = x_ref[...].astype(F32)
 
     h = _ln(x32, eps)
@@ -502,22 +510,30 @@ def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
     kv = jax.lax.dot(hq, wkv_ref[...], preferred_element_type=jnp.int32)
     kv = (kv.astype(F32) * (sr * skv_ref[...]) + bkv_ref[...]).astype(o_ref.dtype)
 
-    # repack (TB*T, ·) -> (TB, Tp, ·); padded rows are zero-filled so the
-    # value matmul can't pull NaNs in (their attention weight is exactly 0).
-    kvp[...] = jnp.zeros_like(kvp)
-    for i in range(TB):
-        qp[i, :T] = q[i * T : (i + 1) * T]
-        kvp[i, :T] = kv[i * T : (i + 1) * T]
-    colmask = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (1, 1, Tp), 2) < T, 0.0, NEG_BIG
-    )
+    if pad:
+        # repack (TB*T, ·) -> (TB, Tp, ·); padded rows are zero-filled so
+        # the value matmul can't pull NaNs in (their weight is exactly 0).
+        qp, kvp = scratch
+        kvp[...] = jnp.zeros_like(kvp)
+        for i in range(TB):
+            qp[i, :T] = q[i * T : (i + 1) * T]
+            kvp[i, :T] = kv[i * T : (i + 1) * T]
+        qv, kvv = qp[...], kvp[...]
+        colmask = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, Tp), 2) < T, 0.0, NEG_BIG
+        )
+    else:
+        # (TB*T, C) -> (TB, T, C) splits whole sublane tiles: free relayout
+        qv = q.reshape(TB, T, C)
+        kvv = kv.reshape(TB, T, 2 * C)
+        colmask = 0.0
 
     outs = []
     for hd in range(num_heads):
         lo = hd * dim_head
-        qh = qp[:, :, lo : lo + dim_head]
-        kh = kvp[:, :, lo : lo + dim_head]
-        vh = kvp[:, :, C + lo : C + lo + dim_head]
+        qh = qv[:, :, lo : lo + dim_head]
+        kh = kvv[:, :, lo : lo + dim_head]
+        vh = kvv[:, :, C + lo : C + lo + dim_head]
         sim = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=F32
         ) * scale + colmask  # (TB, Tp, Tp)
@@ -530,7 +546,10 @@ def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
     ap = jnp.concatenate(outs, axis=-1)  # (TB, Tp, C) f32
 
     # unpack back to flat tokens
-    a = jnp.concatenate([ap[i, :T] for i in range(TB)], axis=0)  # (TB*T, C)
+    if pad:
+        a = jnp.concatenate([ap[i, :T] for i in range(TB)], axis=0)  # (TB*T, C)
+    else:
+        a = ap.reshape(TB * T, C)
 
     aq, sra = _quant_rows(a)
     r = jax.lax.dot(aq, wo_ref[...], preferred_element_type=jnp.int32)
@@ -610,9 +629,13 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
     w1q, s1 = quantize_weight(w1)
     w2q, s2 = quantize_weight(w2)
     Tp = -(-T // 8) * 8
+    # reshape-repack path: legal as a free tile-aligned sublane split only
+    # when T is a whole number of sublane tiles for the token dtype
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    pad = _FORCE_PAD_REPACK or not (Tp == T and T % sub == 0)
     kernel = functools.partial(
         _time_block_kernel, num_heads=num_heads, dim_head=dim_head, T=T,
-        TB=track_block, eps=eps, mlp_chunks=mlp_chunks,
+        TB=track_block, Tp=(Tp if pad else T), eps=eps, mlp_chunks=mlp_chunks,
     )
     row = lambda v, n: v.astype(F32).reshape(1, n)
     wcol = lambda w_s: w_s
@@ -639,10 +662,14 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
             pl.BlockSpec((1, C), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tokens, C), lambda i: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((track_block, Tp, C), x.dtype),
-            pltpu.VMEM((track_block, Tp, 2 * C), x.dtype),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((track_block, Tp, C), x.dtype),
+                pltpu.VMEM((track_block, Tp, 2 * C), x.dtype),
+            ]
+            if pad
+            else []
+        ),
         interpret=interpret,
     )(
         x.reshape(M * T, C),

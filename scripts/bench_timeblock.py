@@ -1,0 +1,82 @@
+"""Microbench: fused time-block kernel, scratch-copy vs reshape repack.
+
+The whole-block time kernel repacks (TB*T, C) q/kv into (TB, Tp, .) for the
+per-track attention core. The original scratch path does TB serial per-track
+VMEM copies per grid step — M copies total regardless of tile size, which is
+why the kernel measured ~4x off its compute floor at T=16 (4x more tracks per
+token than T=60) and why growing the track tile was neutral. When T is a
+whole number of sublane tiles (T=16 bf16: the online/quasi-dense/training
+window) the repack is a free reshape; this bench A/Bs the two paths on the
+real chip, fori_loop-amortized to kill the ~29 ms axon dispatch fog.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import cotracker_tpu.ops.kernels.mlp_int8_pallas as mp
+
+Hh, D, HID = 8, 48, 1536
+C = Hh * D
+REPS = 8
+
+
+def run(M, T, force_pad):
+    rng = np.random.default_rng(0)
+    p = {
+        "wq": rng.standard_normal((C, C)) * 0.05,
+        "bq": rng.standard_normal((C,)) * 0.05,
+        "wkv": rng.standard_normal((C, 2 * C)) * 0.05,
+        "bkv": rng.standard_normal((2 * C,)) * 0.05,
+        "wo": rng.standard_normal((C, C)) * 0.05,
+        "bo": rng.standard_normal((C,)) * 0.05,
+        "w1": rng.standard_normal((C, HID)) * 0.05,
+        "b1": rng.standard_normal((HID,)) * 0.05,
+        "w2": rng.standard_normal((HID, C)) * 0.05,
+        "b2": rng.standard_normal((C,)) * 0.05,
+    }
+    p = {k: jnp.asarray(v, jnp.float32) for k, v in p.items()}
+    x = jnp.asarray(rng.standard_normal((M, T, C)), jnp.bfloat16)
+
+    mp._FORCE_PAD_REPACK = force_pad
+
+    @jax.jit
+    def f(x):
+        def step(i, a):
+            out = mp.fused_time_block_int8(
+                a, p["wq"], p["bq"], p["wkv"], p["bkv"], p["wo"], p["bo"],
+                p["w1"], p["b1"], p["w2"], p["b2"], Hh, D,
+            )
+            # feed output back in so the loop can't be folded
+            return (out * 0.5).astype(a.dtype)
+
+        r = jax.lax.fori_loop(0, REPS, step, x)
+        return jnp.sum(r[:4].astype(jnp.float32) ** 2)
+
+    chk = float(f(x))  # compile + warm
+    t0 = time.perf_counter()
+    chk = float(f(x))
+    dt = (time.perf_counter() - t0) / REPS
+    mp._FORCE_PAD_REPACK = False
+    tok = M * T
+    print(
+        f"M={M:6d} T={T:3d} {'scratch' if force_pad else 'reshape':8s} "
+        f"{dt*1e3:8.2f} ms/block  {tok/dt/1e6:8.1f} Mtok/s  chk={chk:.3f}",
+        flush=True,
+    )
+    return dt
+
+
+if __name__ == "__main__":
+    shapes = [(16384, 16), (4096, 16)]
+    if "--full" in sys.argv:
+        shapes += [(70656, 16), (10048, 60)]
+    for M, T in shapes:
+        a = run(M, T, force_pad=True)
+        b = run(M, T, force_pad=False)
+        print(f"  -> speedup {a/b:.2f}x", flush=True)

@@ -358,6 +358,41 @@ class TestWholeBlockKernels:
         )
         self._check(out2, ref)
 
+    def test_time_block_reshape_repack(self):
+        # T a whole number of sublane tiles -> the kernel takes the
+        # reshape-repack path (no scratch, no per-track copies); must match
+        # the same padded-path math
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_time_block_int8
+
+        rng = np.random.default_rng(2)
+        Hh, D, HID = 8, 48, 1536
+        C = Hh * D
+        for M, T, dt in [(32, 8, np.float32), (32, 16, jnp.bfloat16)]:
+            p = self._mk_params(rng, C, HID)
+            x = jnp.asarray(rng.standard_normal((M, T, C)).astype(np.float32))
+
+            h = self._ln(x)
+            q = h @ p["wq"] + p["bq"]
+            k, v = jnp.split(h @ p["wkv"] + p["bkv"], 2, -1)
+            qh = q.reshape(M, T, Hh, D).transpose(0, 2, 1, 3)
+            kh = k.reshape(M, T, Hh, D).transpose(0, 2, 1, 3)
+            vh = v.reshape(M, T, Hh, D).transpose(0, 2, 1, 3)
+            sim = jnp.einsum("bhid,bhjd->bhij", qh, kh,
+                             preferred_element_type=jnp.float32) * D**-0.5
+            a = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(sim, -1), vh)
+            a = a.transpose(0, 2, 1, 3).reshape(M, T, C)
+            r = x + a @ p["wo"] + p["bo"]
+            ref = r + jax.nn.gelu(
+                self._ln(r) @ p["w1"] + p["b1"], approximate=True
+            ) @ p["w2"] + p["b2"]
+
+            out = fused_time_block_int8(
+                x.astype(dt), p["wq"], p["bq"], p["wkv"], p["bkv"], p["wo"],
+                p["bo"], p["w1"], p["b1"], p["w2"], p["b2"], Hh, D,
+                track_block=16, interpret=True,
+            )
+            self._check(out, ref)
+
     def test_space_block(self):
         from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_space_block_int8
 
