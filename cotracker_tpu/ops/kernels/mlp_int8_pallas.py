@@ -41,8 +41,24 @@ F32 = jnp.float32
 NEG_BIG = -0.7 * jnp.finfo(jnp.float32).max
 
 # bench hook: force the scratch-copy repack even when the reshape path is
-# legal (scripts/bench_attnblock.py A/B comparison)
+# legal (scripts/bench_timeblock.py A/B comparison)
 _FORCE_PAD_REPACK = False
+
+# debug/test seam: records the repack path chosen by the most recent
+# fused_time_block_int8 trace (True = scratch-copy, False = free reshape) so
+# tests and the A/B bench can assert the two arms actually compiled
+# different kernels
+_LAST_REPACK_PAD = None
+
+
+def _reshape_repack_ok(T: int, dtype) -> bool:
+    """True when the (TB*T, C) -> (TB, T, C) repack is a free tile-aligned
+    sublane split for this token dtype: T must be a whole number of sublane
+    tiles (16 rows for bf16, 8 for f32). Anything else must take the
+    scratch-copy path — Mosaic cannot shape-cast across a partial sublane
+    tile."""
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    return T % sub == 0
 
 
 def quantize_weight(w):
@@ -485,7 +501,7 @@ def fused_space_block_int8(x, kv, wq, bq, wo, bo, w1, b1, w2, b2,
 def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
                        bkv_ref, wo_ref, so_ref, bo_ref, w1_ref, s1_ref,
                        b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *scratch,
-                       num_heads, dim_head, T, TB, Tp, eps, mlp_chunks):
+                       num_heads, dim_head, T, TB, Tp, eps, mlp_chunks, pad):
     """One track-tile of a full time-attention block.
 
     x (TB*T, C): the tile's tokens, flat (the (BN, T, C) HBM layout IS
@@ -500,7 +516,9 @@ def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
     """
     C = num_heads * dim_head
     scale = dim_head**-0.5
-    pad = Tp != T
+    # `pad` is the HOST's path decision (see fused_time_block_int8) — never
+    # re-derived here: Tp == T does NOT imply the reshape is legal (bf16
+    # T=8/24/… round up to themselves but straddle a 16-row sublane tile).
     x32 = x_ref[...].astype(F32)
 
     h = _ln(x32, eps)
@@ -630,12 +648,17 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
     w2q, s2 = quantize_weight(w2)
     Tp = -(-T // 8) * 8
     # reshape-repack path: legal as a free tile-aligned sublane split only
-    # when T is a whole number of sublane tiles for the token dtype
-    sub = 16 if x.dtype == jnp.bfloat16 else 8
-    pad = _FORCE_PAD_REPACK or not (Tp == T and T % sub == 0)
+    # when T is a whole number of sublane tiles for the token dtype. The
+    # decision is made HERE and passed into the kernel explicitly so the two
+    # sides can never disagree (the kernel used to infer it from Tp != T,
+    # which mis-fired whenever T%8==0 but T%sublane!=0).
+    pad = _FORCE_PAD_REPACK or not _reshape_repack_ok(T, x.dtype)
+    global _LAST_REPACK_PAD
+    _LAST_REPACK_PAD = pad
     kernel = functools.partial(
         _time_block_kernel, num_heads=num_heads, dim_head=dim_head, T=T,
         TB=track_block, Tp=(Tp if pad else T), eps=eps, mlp_chunks=mlp_chunks,
+        pad=pad,
     )
     row = lambda v, n: v.astype(F32).reshape(1, n)
     wcol = lambda w_s: w_s

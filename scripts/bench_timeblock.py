@@ -43,26 +43,35 @@ def run(M, T, force_pad):
     p = {k: jnp.asarray(v, jnp.float32) for k, v in p.items()}
     x = jnp.asarray(rng.standard_normal((M, T, C)), jnp.bfloat16)
 
+    # flag is read at TRACE time: set it under try/finally so an exception
+    # can't leak force_pad=True into later in-process calls, and assert via
+    # the _LAST_REPACK_PAD seam that this arm compiled the path it claims
     mp._FORCE_PAD_REPACK = force_pad
+    try:
 
-    @jax.jit
-    def f(x):
-        def step(i, a):
-            out = mp.fused_time_block_int8(
-                a, p["wq"], p["bq"], p["wkv"], p["bkv"], p["wo"], p["bo"],
-                p["w1"], p["b1"], p["w2"], p["b2"], Hh, D,
-            )
-            # feed output back in so the loop can't be folded
-            return (out * 0.5).astype(a.dtype)
+        @jax.jit
+        def f(x):
+            def step(i, a):
+                out = mp.fused_time_block_int8(
+                    a, p["wq"], p["bq"], p["wkv"], p["bkv"], p["wo"], p["bo"],
+                    p["w1"], p["b1"], p["w2"], p["b2"], Hh, D,
+                )
+                # feed output back in so the loop can't be folded
+                return (out * 0.5).astype(a.dtype)
 
-        r = jax.lax.fori_loop(0, REPS, step, x)
-        return jnp.sum(r[:4].astype(jnp.float32) ** 2)
+            r = jax.lax.fori_loop(0, REPS, step, x)
+            return jnp.sum(r[:4].astype(jnp.float32) ** 2)
 
-    chk = float(f(x))  # compile + warm
-    t0 = time.perf_counter()
-    chk = float(f(x))
-    dt = (time.perf_counter() - t0) / REPS
-    mp._FORCE_PAD_REPACK = False
+        chk = float(f(x))  # compile + warm
+        assert mp._LAST_REPACK_PAD == force_pad, (
+            f"arm force_pad={force_pad} traced the "
+            f"{'scratch' if mp._LAST_REPACK_PAD else 'reshape'} path"
+        )
+        t0 = time.perf_counter()
+        chk = float(f(x))
+        dt = (time.perf_counter() - t0) / REPS
+    finally:
+        mp._FORCE_PAD_REPACK = False
     tok = M * T
     print(
         f"M={M:6d} T={T:3d} {'scratch' if force_pad else 'reshape':8s} "

@@ -30,7 +30,7 @@ if [ "$MODE" = "--online" ]; then
   # online model: the evaluator drives the 16-frame chunk loop itself
   # (reference evaluate.py:110-140); window_len 16, no support grid
   python -m cotracker_tpu.evaluation.evaluate "${COMMON[@]}" \
-    --offline_model --window_len 16 --exp_dir "$OUT/${DATASET}_online"
+    --online --window_len 16 --exp_dir "$OUT/${DATASET}_online"
 else
   # joint protocol (approximately the paper table, reference README.md:175)
   python -m cotracker_tpu.evaluation.evaluate "${COMMON[@]}" \

@@ -393,6 +393,74 @@ class TestWholeBlockKernels:
             )
             self._check(out, ref)
 
+    def test_time_block_repack_path_selection(self):
+        # The repack path is decided HOST-side and passed into the kernel;
+        # the kernel must never infer it from Tp != T (advisor r3-high: bf16
+        # T in {8, 24, 40, 56} has Tp == T but straddles the 16-row sublane
+        # tile, so a reshape there is exactly the unaligned shape-cast the
+        # scratch path exists to avoid).
+        import cotracker_tpu.ops.kernels.mlp_int8_pallas as mp
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_time_block_int8
+
+        # decision function: bf16 needs T % 16 == 0, f32 needs T % 8 == 0
+        assert not mp._reshape_repack_ok(8, jnp.bfloat16)
+        assert not mp._reshape_repack_ok(24, jnp.bfloat16)
+        assert mp._reshape_repack_ok(16, jnp.bfloat16)
+        assert mp._reshape_repack_ok(8, jnp.float32)
+        assert not mp._reshape_repack_ok(6, jnp.float32)
+
+        rng = np.random.default_rng(5)
+        Hh, D, HID = 8, 48, 1536
+        C = Hh * D
+        M, T = 32, 8
+        p = self._mk_params(rng, C, HID)
+        x = jnp.asarray(rng.standard_normal((M, T, C)).astype(np.float32))
+
+        h = self._ln(x)
+        q = h @ p["wq"] + p["bq"]
+        k, v = jnp.split(h @ p["wkv"] + p["bkv"], 2, -1)
+        qh = q.reshape(M, T, Hh, D).transpose(0, 2, 1, 3)
+        kh = k.reshape(M, T, Hh, D).transpose(0, 2, 1, 3)
+        vh = v.reshape(M, T, Hh, D).transpose(0, 2, 1, 3)
+        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh,
+                         preferred_element_type=jnp.float32) * D**-0.5
+        a = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(sim, -1), vh)
+        a = a.transpose(0, 2, 1, 3).reshape(M, T, C)
+        r = x + a @ p["wo"] + p["bo"]
+        ref = r + jax.nn.gelu(
+            self._ln(r) @ p["w1"] + p["b1"], approximate=True
+        ) @ p["w2"] + p["b2"]
+
+        # bf16 T=8: Tp == T, yet the SCRATCH path must be taken
+        out = fused_time_block_int8(
+            x.astype(jnp.bfloat16), p["wq"], p["bq"], p["wkv"], p["bkv"],
+            p["wo"], p["bo"], p["w1"], p["b1"], p["w2"], p["b2"], Hh, D,
+            track_block=16, interpret=True,
+        )
+        assert mp._LAST_REPACK_PAD is True
+        self._check(out, ref)
+
+        # _FORCE_PAD_REPACK must force scratch even at aligned T (the A/B
+        # bench relies on this; pre-fix it was a no-op whenever T % 8 == 0)
+        mp._FORCE_PAD_REPACK = True
+        try:
+            out = fused_time_block_int8(
+                x.astype(jnp.float32), p["wq"], p["bq"], p["wkv"], p["bkv"],
+                p["wo"], p["bo"], p["w1"], p["b1"], p["w2"], p["b2"], Hh, D,
+                track_block=16, interpret=True,
+            )
+            assert mp._LAST_REPACK_PAD is True
+            self._check(out, ref)
+        finally:
+            mp._FORCE_PAD_REPACK = False
+        # and f32 T=8 without the flag takes the free reshape
+        fused_time_block_int8(
+            x.astype(jnp.float32), p["wq"], p["bq"], p["wkv"], p["bkv"],
+            p["wo"], p["bo"], p["w1"], p["b1"], p["w2"], p["b2"], Hh, D,
+            track_block=16, interpret=True,
+        )
+        assert mp._LAST_REPACK_PAD is False
+
     def test_space_block(self):
         from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_space_block_int8
 
