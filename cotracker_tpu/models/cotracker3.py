@@ -64,6 +64,21 @@ def sample_patch_features(fmaps, coords, radius: int):
     return out.reshape(B, T, N, P, P, C)
 
 
+def _get_track_feat_taps(fmaps, queried_frames, queried_coords, radius: int):
+    """Per-tap trilinear formulation of get_track_feat (49 gather taps per
+    point). Kept as the T==1 fallback; the window path below is the hot
+    implementation."""
+    B, T, H, W, C = fmaps.shape
+    P = 2 * radius + 1
+    d = jnp.arange(-radius, radius + 1, dtype=queried_coords.dtype)
+    offs = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)  # (P,P,2) x-first
+    # (t, x, y) support points: (B, N, P, P, 3)
+    txy = jnp.concatenate([queried_frames[..., None], queried_coords], axis=-1)
+    pts = txy[:, :, None, None, :] + jnp.pad(offs, ((0, 0), (0, 0), (1, 0)))[None, None]
+    pts = pts.reshape(B, pts.shape[1], P * P, 3).transpose(0, 2, 1, 3)  # (B, P*P, N, 3)
+    return sample_features_3d(fmaps, pts)  # (B, P*P, N, C)
+
+
 def get_track_feat(fmaps, queried_frames, queried_coords, radius: int):
     """Sample per-track support patches at the query frame.
 
@@ -71,18 +86,63 @@ def get_track_feat(fmaps, queried_frames, queried_coords, radius: int):
     (B, N, 2) in this level's units. Returns:
       track_feat    (B, 1, N, C)  — center tap
       track_support (B, P*P, N, C) — full patch, flattened i*P+j
-    Mirrors reference `get_track_feat` (cotracker3_online.py:113-128).
+    Mirrors reference `get_track_feat` (cotracker3_online.py:113-128:
+    `get_support_points` trilinear taps), computed the window way: ONE
+    (2, 8, 8, C) dynamic-slice per point (two consecutive frames for exact
+    trilinear blending in t — wt is 0 for the integer query frames every
+    caller passes) + the shared-fraction 4-term spatial combine from
+    ops/corr.py. The per-tap `jnp.take` formulation moved ~1 GB through the
+    pathologically slow gather path (~134 ms of the bench forward); this
+    moves ~2 x 64 x C bytes per point through contiguous-row reads, with the
+    same custom scatter-add backward the corr gather uses.
     """
+    from cotracker_tpu.ops.corr import (
+        _window_gather_3d,
+        pad_fmaps,
+        window_starts_and_weights,
+    )
+
     B, T, H, W, C = fmaps.shape
     N = queried_frames.shape[1]
     P = 2 * radius + 1
-    d = jnp.arange(-radius, radius + 1, dtype=queried_coords.dtype)
-    offs = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)  # (P,P,2) x-first
-    # (t, x, y) support points: (B, N, P, P, 3)
-    txy = jnp.concatenate([queried_frames[..., None], queried_coords], axis=-1)
-    pts = txy[:, :, None, None, :] + jnp.pad(offs, ((0, 0), (0, 0), (1, 0)))[None, None]
-    pts = pts.reshape(B, N, P * P, 3).transpose(0, 2, 1, 3)  # (B, P*P, N, 3)
-    support = sample_features_3d(fmaps, pts)  # (B, P*P, N, C)
+    WIN = P + 1
+    if T < 2:
+        support = _get_track_feat_taps(fmaps, queried_frames, queried_coords, radius)
+        center = support[:, None, (P * P) // 2]
+        return center, support
+
+    wsx, wsy, wx, wy = window_starts_and_weights(queried_coords, radius, H, W)
+    # time axis, matching bilinear_sample_3d's align_corners=True + border
+    # clamp: t in [0, T-1]; slice frames (t0c, t0c+1) and blend by wt
+    t = jnp.clip(queried_frames.astype(jnp.float32), 0.0, T - 1.0)
+    t0 = jnp.floor(t)
+    wt = (t - t0)[..., None, None, None]  # (B, N, 1, 1, 1)
+    t0c = jnp.minimum(t0, T - 2.0)
+    sel = (t0 - t0c)[..., None, None, None]  # 1.0 only when t0 == T-1 (wt==0)
+
+    fmaps_p = pad_fmaps(fmaps, radius)
+    starts_f = jnp.stack(
+        [t0c, wsx.astype(jnp.float32), wsy.astype(jnp.float32)], axis=-1
+    )
+    win = _window_gather_3d(WIN)(fmaps_p, starts_f)  # (B, N, 2, WIN, WIN, C)
+    p0 = jnp.where(sel > 0.5, win[:, :, 1], win[:, :, 0])
+    blended = p0 + wt.astype(win.dtype) * (win[:, :, 1] - p0)  # (B,N,WINy,WINx,C)
+
+    wxb = wx[..., None, None, None].astype(blended.dtype)
+    wyb = wy[..., None, None, None].astype(blended.dtype)
+    a0 = blended[:, :, :P, :P]
+    a1 = blended[:, :, :P, 1:]
+    b0 = blended[:, :, 1:, :P]
+    b1 = blended[:, :, 1:, 1:]
+    patch = (
+        (1 - wyb) * (1 - wxb) * a0
+        + (1 - wyb) * wxb * a1
+        + wyb * (1 - wxb) * b0
+        + wyb * wxb * b1
+    )  # (B, N, P(y), P(x), C)
+    # flatten x-major (index i*P + j, first patch axis offsets x) and move to
+    # the reference's (B, P*P, N, C) layout
+    support = patch.transpose(0, 3, 2, 1, 4).reshape(B, P * P, N, C)
     center = support[:, None, (P * P) // 2]  # (B, 1, N, C)
     return center, support
 
@@ -299,9 +359,12 @@ class IterationCore(nn.Module):
             if pallas_inference:
                 # single chunk loop over all levels: per chunk the window
                 # kernels + MLP1 + folded projections + the small terms all
-                # accumulate before anything returns to HBM
+                # accumulate before anything returns to HBM. Tuple entries
+                # are PRE-QUANTIZED (int8, scale) support hoisted out of the
+                # scan by iterate() — already track-major.
                 sup_list = [
-                    s.transpose(0, 2, 1, 3) for s in support_pyramid
+                    s if isinstance(s, tuple) else s.transpose(0, 2, 1, 3)
+                    for s in support_pyramid
                 ]
 
                 def make_extra_fn(tp):
@@ -618,6 +681,31 @@ class CoTrackerThree(nn.Module):
         )
         T = fmaps_pyramid[0].shape[1]
         time_emb = self.interpolate_time_embed(T)
+        # hoist the support quantization out of the scanned iteration body:
+        # support is iteration-invariant, so the in-chunk per-iter amax +
+        # round (the quasi-dense-safe default) is pure waste at moderate N
+        # (~25 ms of the bench forward). Full-N int8 staging is
+        # N*49*C bytes/level — gated to N <= 16384 (<= 103 MB/level) so the
+        # quasi-dense 70k-track shapes keep the in-chunk memory behavior.
+        if (
+            self.use_pallas_corr
+            and self.corr_quant_int8
+            and self.fold_input_proj
+            and not self.corr_pallas_grad
+            and track_support_pyramid[0].shape[2] <= 16384
+        ):
+            quantized = []
+            for s in track_support_pyramid:
+                snt = s.transpose(0, 2, 1, 3).astype(self.dtype)  # (B,N,S,C)
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(snt), axis=(2, 3)).astype(jnp.float32),
+                    1e-20,
+                )
+                sq = jnp.round(
+                    snt.astype(jnp.float32) * (127.0 / amax[..., None, None])
+                ).astype(jnp.int8)
+                quantized.append((sq, amax * (1.0 / 127.0 / 128.0)))
+            track_support_pyramid = quantized
         slab_mode = (
             self.use_pallas_corr
             and self.prepack_t_slab is not None

@@ -104,6 +104,66 @@ def _window_gather(win: int):
     return gather
 
 
+@functools.lru_cache(maxsize=None)
+def _window_gather_3d(win: int):
+    """Per-point (2, win, win, C) window gather with a per-point FRAME index
+    — the track-feature sampling pattern (each query reads its own query
+    frame). Two consecutive frames are sliced so the caller can blend them
+    trilinear-exactly (wt == 0 for the integer frames every real caller
+    passes). Same custom backward as _window_gather: the autodiff transpose
+    of a vmapped dynamic_slice is a serialized while-of-DUS; the batched
+    flat-row scatter-add is ~6x faster.
+
+    starts are (B, N, 3) f32 (t0, x, y) integer-valued; fmaps (B, T, Hp, Wp,
+    C) with T >= 2 (callers fall back to the tap path for T == 1)."""
+
+    @jax.custom_vjp
+    def gather(fmaps_p, starts_f):
+        def one(f_b, st):
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(
+                    f_b,
+                    (
+                        s[0].astype(jnp.int32),
+                        s[2].astype(jnp.int32),
+                        s[1].astype(jnp.int32),
+                        0,
+                    ),
+                    (2, win, win, f_b.shape[-1]),
+                )
+            )(st)
+
+        return jax.vmap(one)(fmaps_p, starts_f)  # (B, N, 2, win, win, C)
+
+    def fwd(fmaps_p, starts_f):
+        token = jnp.zeros((0,) + fmaps_p.shape, fmaps_p.dtype)
+        return gather(fmaps_p, starts_f), (starts_f, token)
+
+    def bwd(res, ct):
+        starts_f, token = res
+        B, T, Hp, Wp, C = token.shape[1:]
+        dtype = token.dtype
+        ts = starts_f[..., 0].astype(jnp.int32)  # (B, N)
+        xs = starts_f[..., 1].astype(jnp.int32)
+        ys = starts_f[..., 2].astype(jnp.int32)
+        dy = jnp.arange(win, dtype=jnp.int32)
+        dt = jnp.arange(2, dtype=jnp.int32)
+        # flat voxel index over (T, Hp, Wp)
+        base = (ts[:, :, None] + dt[None, None, :]) * (Hp * Wp)  # (B, N, 2)
+        row = base[..., None] + (ys[:, :, None, None] + dy[None, None, None, :]) * Wp
+        idx = row[..., None] + (xs[:, :, None, None, None] + dy)  # (B,N,2,win,win)
+        b_ix = jnp.arange(B)[:, None, None, None, None]
+        flat = jnp.zeros((B, T * Hp * Wp, C), F32)
+        flat = flat.at[b_ix, idx].add(ct.astype(F32))
+        return (
+            flat.reshape(B, T, Hp, Wp, C).astype(dtype),
+            jnp.zeros_like(starts_f),
+        )
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 def window_starts_and_weights(coords, radius: int, height: int, width: int):
     """Window origins + shared bilinear weights for padded-map sampling.
 

@@ -34,6 +34,7 @@ T=60) + pipelined (1, 8*T*8, 49) output blocks; comfortably under 16 MB.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -265,16 +266,30 @@ def _corr_level_plan(
         B, T, H, W, C = fmaps.shape
         fmaps_p = build_shifted_fmaps(fmaps, radius, compute_dtype, quant_int8=quant_int8)
         Hp, Wp = H + 2 * pad, W + 2 * pad
+    # support arrives either as a bf16 (B, N, S, C) array (quantized PER
+    # CHUNK inside hidden() — the safe default at quasi-dense N, where any
+    # full-size staging of the quantize is a 0.4-1.65 GB temp per level and
+    # XLA's fusion choices around the (B,S,N,C)->(B,N,S,C) relayout made
+    # several of them live at once, the round-2 16 GB OOM driver) or as a
+    # PRE-QUANTIZED (int8 (B, N, S, C), scale (B, N)) pair hoisted out of
+    # the iteration scan by CoTrackerThree.iterate at moderate N — support
+    # is iteration-invariant, so the per-iter re-quantize (amax + round per
+    # chunk, ~25 ms/forward at the bench shape) is pure waste there.
+    pre_quant = isinstance(support, tuple)
     if quant_int8:
         assert fmaps_p.dtype == jnp.int8, fmaps_p.dtype
-        # the support patches are quantized too — but PER CHUNK inside
-        # hidden(), never at full N: any full-size staging of the quantize
-        # (f32 scale product or even the int8 result) is a 0.4-1.65 GB temp
-        # per level at quasi-dense N=70k, and XLA's fusion choices around
-        # the (B,S,N,C)->(B,N,S,C) relayout made several of them live at
-        # once (the 16 GB OOM driver). In-chunk the temp is ~50 MB.
-        support = support.astype(compute_dtype)
-    wsx, wsy, wx, wy = window_starts_and_weights(coords, radius, H, W)  # (B, T, N)
+        if not pre_quant:
+            support = support.astype(compute_dtype)
+    else:
+        assert not pre_quant
+    # compute the per-(point, frame) fields TRACK-major from the start: the
+    # transpose rides the tiny (B, T, N, 2) coords tensor instead of the
+    # stacked int starts — frame-major construction left the (B, N, Tp, 3)
+    # starts (and the wx/wy fractions) with an N-minor layout that cost a
+    # relayout copy PER CHUNK inside the scan (~38 ms/forward at the bench
+    # shape: trace ops copy.941/.949)
+    coords_nt = coords.transpose(0, 2, 1, 3)  # (B, N, T, 2)
+    wsx, wsy, wx, wy = window_starts_and_weights(coords_nt, radius, H, W)  # (B, N, T)
 
     # per-(point, frame) DMA descriptors: flat (shift-copy, frame) index +
     # aligned window origin. Copy m = wsx % K at aligned start K*(wsx // K)
@@ -285,21 +300,22 @@ def _corr_level_plan(
         m * (B * T)
         + jnp.broadcast_to(
             (jnp.arange(B, dtype=jnp.int32) * T)[:, None, None]
-            + jnp.arange(T, dtype=jnp.int32)[None, :, None],
-            (B, T, N),
+            + jnp.arange(T, dtype=jnp.int32)[None, None, :],
+            (B, N, T),
         )
     )
-    starts = jnp.stack([ft, wsy, sxK], axis=-1)  # (B, T, N, 3)
-    starts = starts.transpose(0, 2, 1, 3).reshape(B * N, T, 3)
+    starts = jnp.stack([ft, wsy, sxK], axis=-1)  # (B, N, T, 3)
     Tp = T + (T % 2)  # even T so (WIN, Tp*WIN, C) merges are tile-trivial
     if Tp != T:
-        starts = jnp.concatenate([starts, starts[:, -1:]], axis=1)
+        starts = jnp.concatenate([starts, starts[:, :, -1:]], axis=2)
 
     cd = compute_dtype
-    starts = starts.reshape(B, N, Tp, 3)
-    sup = support.astype(cd)  # (B, N, S, C)
-    wxn = wx.transpose(0, 2, 1)  # (B, N, T)
-    wyn = wy.transpose(0, 2, 1)
+    if pre_quant:
+        sup, sup_scale = support  # int8 (B, N, S, C), f32 (B, N)
+    else:
+        sup, sup_scale = support.astype(cd), None  # (B, N, S, C)
+    wxn = wx  # (B, N, T)
+    wyn = wy
     w1r = w1.reshape(P, P, S, -1).astype(cd)  # (i, j, s, Dh): d = i*P*S + j*S + s
     R = WIN * Tp * WIN
     fmh = fmaps_p  # (8*B*T, Hp, Wp, C)
@@ -311,12 +327,18 @@ def _corr_level_plan(
     )
     lhs = "bntk" if track_major else "btnk"
 
-    def hidden(starts_c, sup_c, wx_c, wy_c):
-        # starts_c (B, n, Tp, 3); sup_c (B, n, S, C); wx_c/wy_c (B, n, T)
+    def hidden(starts_c, sup_c, *rest):
+        # starts_c (B, n, Tp, 3); sup_c (B, n, S, C); wx_c/wy_c (B, n, T);
+        # with pre-quantized support, rest additionally leads with the
+        # per-point (B, n) dequant scales
+        if pre_quant:
+            sup_scale_c, wx_c, wy_c = rest
+        else:
+            sup_scale_c = None
+            wx_c, wy_c = rest
         n = starts_c.shape[1]
         NP = B * n
-        sup_scale_c = None
-        if quant_int8:
+        if quant_int8 and not pre_quant:
             # per-point dynamic support quantization, in-chunk (see prep
             # comment): the contraction runs natively s8 x s8 -> s32 on the
             # MXU; the 1/128 window scale and this per-point scale both fold
@@ -469,10 +491,12 @@ def _corr_level_plan(
         ).astype(cd) + b1.astype(cd)
         return jax.nn.gelu(h, approximate=False)
 
+    if pre_quant:
+        return (starts, sup, sup_scale, wxn, wyn), hidden
     return (starts, sup, wxn, wyn), hidden
 
 
-def _chunked_over_points(run, ops, B, N, chunk, track_major):
+def _chunked_over_points(run, ops, B, N, chunk, track_major, flat_rows=False):
     """Chunked driver over N. run(ops_chunk_tuple) -> (B, n, T, Do)
     [track_major] or (B, T, n, Do); assembles the full-N result.
 
@@ -481,7 +505,16 @@ def _chunked_over_points(run, ops, B, N, chunk, track_major):
     requires (K, B, chunk, ...) pre-split operands and stacks (K, ...)
     outputs, and those reshape-transposes are real HBM copies that re-run
     EVERY scan iteration for iteration-invariant operands like the support
-    patches (~9 ms/level-iter on v5e, ~220 ms of the bench forward)."""
+    patches (~9 ms/level-iter on v5e, ~220 ms of the bench forward).
+
+    flat_rows (track_major only): accumulate into a FLAT (B, N*T, Do)
+    carry, reshaping each (B, n, T, Do) piece to rows first. The 4D carry's
+    layout is propagated from the conv-lowered MLP1 fusions' t-major pieces,
+    so every downstream track-major consumer (the updateformer time block)
+    paid a full relayout copy + materialized reshape of the token tensor
+    (copy.929 + reshape.3737, ~18 ms/forward at the bench shape); the flat
+    carry pins row-major (n, t) order and moves the (cheaper, in-fusion)
+    transpose onto the chunk pieces."""
     if chunk is None or chunk >= N:
         return run(ops)
 
@@ -494,6 +527,19 @@ def _chunked_over_points(run, ops, B, N, chunk, track_major):
     take = lambda a, k: jax.lax.dynamic_slice_in_dim(a, k * chunk, chunk, axis=1)
     shape = jax.eval_shape(run, tuple(take(a, 0) for a in ops))
     n_axis = 1 if track_major else 2
+
+    if flat_rows:
+        assert track_major
+        _, _, T_, Do = shape.shape
+        out0 = jnp.zeros((B, K * chunk * T_, Do), shape.dtype)
+
+        def body_flat(k, acc):
+            r = run(tuple(take(a, k) for a in ops)).reshape(B, chunk * T_, Do)
+            return jax.lax.dynamic_update_slice(acc, r, (0, k * chunk * T_, 0))
+
+        out = jax.lax.fori_loop(0, K, body_flat, out0)
+        return out.reshape(B, K * chunk, T_, Do)[:, :N]
+
     full = list(shape.shape)
     full[n_axis] = K * chunk
     out0 = jnp.zeros(full, shape.dtype)
@@ -624,7 +670,15 @@ def fused_corr_tokens_pallas(
             acc = acc + extra_fn(*ops_chunk[len(plans) * n_level_ops :])
         return (acc + b2f_sum).astype(cd)
 
-    return _chunked_over_points(run, ops, B, N, chunk, track_major=True)
+    # A/B knob, measured OFF-better on v5e (bench 240.8k vs 251.3k pf/s):
+    # pinning row-major (n, t) pieces forces a per-chunk transpose inside
+    # the conv-lowered epilogue chain that costs ~6x the downstream
+    # copy.929+reshape it eliminates. Kept for chips where the tradeoff
+    # flips; see BASELINE.md round-4 notes.
+    flat = bool(os.environ.get("CORR_FLAT_ACC"))
+    return _chunked_over_points(
+        run, ops, B, N, chunk, track_major=True, flat_rows=flat
+    )
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,0 +1,80 @@
+"""Dense-mode benchmark (VERDICT r3 item 7): the reference's quasi-dense API
+(/root/reference/cotracker/predictor.py:70-98) — an 80-grid tiled over
+grid_step^2 pixel offsets, each offset a full sparse forward.
+
+At 384x512 input: grid_step = 512//80 = 6, 85x64 = 5,440 points/offset,
+36 offsets = 195,840 total tracks. Every offset reuses ONE compiled
+executable (same T, N-bucket): compile and the per-forward prepack amortize
+across offsets. Prints measured per-offset steady time, extrapolated total,
+and points*frames/s.
+
+Usage: python scripts/bench_dense.py [--offsets 6] [--frames 60]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--offsets", type=int, default=6,
+                    help="offsets to actually run (of grid_step^2); the rest "
+                    "are identical work on the same executable")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--grid_size", type=int, default=80)
+    args = ap.parse_args()
+
+    import jax
+    from cotracker_tpu.predictor import CoTrackerPredictor
+
+    H, W, T = 384, 512, args.frames
+    rng = np.random.default_rng(0)
+    video = (rng.random((1, T, 3, H, W)) * 255).astype(np.float32)
+
+    pred = CoTrackerPredictor(fast=jax.devices()[0].platform != "cpu")
+
+    grid_step = W // args.grid_size
+    grid_w, grid_h = W // grid_step, H // grid_step
+    n_per = grid_w * grid_h
+    total_offsets = grid_step * grid_step
+    print(f"dense: grid_step={grid_step}, {n_per} pts/offset, "
+          f"{total_offsets} offsets = {n_per * total_offsets} tracks", flush=True)
+
+    def run_offset(offset):
+        ox, oy = offset % grid_step, offset // grid_step
+        pts = np.zeros((1, n_per, 3), np.float32)
+        pts[:, :, 1] = np.tile(np.arange(grid_w), grid_h) * grid_step + ox
+        pts[:, :, 2] = np.repeat(np.arange(grid_h), grid_w) * grid_step + oy
+        t, v = pred._compute_sparse_tracks(video, pts)
+        # force completion (block_until_ready does not sync over the tunnel)
+        return float(np.asarray(t[0, -1, -1]).sum())
+
+    t0 = time.perf_counter()
+    run_offset(0)  # compile + warm
+    compile_s = time.perf_counter() - t0
+    print(f"first offset (incl. compile): {compile_s:.1f} s", flush=True)
+
+    times = []
+    for k in range(1, 1 + args.offsets):
+        t0 = time.perf_counter()
+        run_offset(k % total_offsets)
+        times.append(time.perf_counter() - t0)
+        print(f"offset {k}: {times[-1]:.3f} s", flush=True)
+
+    per = min(times)
+    total = per * total_offsets
+    pfs = n_per * total_offsets * T / total
+    print(
+        f"steady per-offset {per:.3f} s -> extrapolated full dense pass "
+        f"{total:.1f} s ({total_offsets} offsets), "
+        f"{pfs:,.0f} points*frames/s (N_total={n_per * total_offsets}, T={T})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,9 @@ def main():
     # shard the 70k tracks over this many chips (jax.shard_map; the
     # virtual-token psum is the only collective) — needs that many devices
     p.add_argument("--track_shards", type=int, default=1)
+    # trace ONE steady window into this directory and print the device
+    # accounting instead of the throughput loop
+    p.add_argument("--trace", default=None)
     args = p.parse_args()
 
     import jax
@@ -76,6 +79,24 @@ def main():
     tracks, vis = pred(video_dev[:, 0 : 2 * step])
     sync(tracks)
     print(f"first window (compile): {time.time() - t0:.1f}s")
+
+    if args.trace:
+        # steady-state window device accounting (VERDICT r3 item 2): warm
+        # one more window, then trace a single step and publish device-busy
+        # vs wall via the trace_forward parser
+        tracks, _ = pred(video_dev[:, step : 3 * step])
+        sync(tracks)
+        from trace_forward import parse
+
+        jax.profiler.start_trace(args.trace)
+        t0 = time.time()
+        tracks, _ = pred(video_dev[:, 2 * step : 4 * step])
+        sync(tracks)
+        wall = time.time() - t0
+        jax.profiler.stop_trace()
+        print(f"traced steady window wall: {wall:.3f} s", flush=True)
+        parse(args.trace)
+        return
 
     windows = 0
     t0 = time.time()
