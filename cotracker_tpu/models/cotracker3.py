@@ -64,6 +64,11 @@ def sample_patch_features(fmaps, coords, radius: int):
     return out.reshape(B, T, N, P, P, C)
 
 
+# N-chunk size for the windowed support sampler (get_track_feat): bounds the
+# (B, chunk, 2, WIN, WIN, C) transient to ~250 MB at C=128
+_TRACK_FEAT_CHUNK = 8192
+
+
 def _get_track_feat_taps(fmaps, queried_frames, queried_coords, radius: int):
     """Per-tap trilinear formulation of get_track_feat (49 gather taps per
     point). Kept as the T==1 fallback; the window path below is the hot
@@ -110,6 +115,22 @@ def get_track_feat(fmaps, queried_frames, queried_coords, radius: int):
         support = _get_track_feat_taps(fmaps, queried_frames, queried_coords, radius)
         center = support[:, None, (P * P) // 2]
         return center, support
+    if N > _TRACK_FEAT_CHUNK * 2:
+        # bound the (B, N, 2, WIN, WIN, C) window transient: at quasi-dense
+        # N=70k it is 2.16 GB PER LEVEL and the per-level transients are
+        # live together inside the online accumulate (OOM on 16 GB). Static
+        # chunking keeps the fast path and the differentiability.
+        feats, sups = [], []
+        for s0 in range(0, N, _TRACK_FEAT_CHUNK):
+            f_c, s_c = get_track_feat(
+                fmaps,
+                queried_frames[:, s0 : s0 + _TRACK_FEAT_CHUNK],
+                queried_coords[:, s0 : s0 + _TRACK_FEAT_CHUNK],
+                radius,
+            )
+            feats.append(f_c)
+            sups.append(s_c)
+        return jnp.concatenate(feats, axis=2), jnp.concatenate(sups, axis=2)
 
     wsx, wsy, wx, wy = window_starts_and_weights(queried_coords, radius, H, W)
     # time axis, matching bilinear_sample_3d's align_corners=True + border
@@ -497,6 +518,12 @@ class OnlineState(NamedTuple):
     coords: jnp.ndarray  # (B, CAP, N, 2) — predicted tracks, model pixels
     vis: jnp.ndarray  # (B, CAP, N) — visibility logits
     conf: jnp.ndarray  # (B, CAP, N) — confidence logits
+    # level-0 feature maps of the previous window's last `step` frames —
+    # consecutive windows overlap by S//2, so half of every window's fnet
+    # (the per-step dominant once-cost at quasi-dense N) is re-encoding
+    # frames the previous step already encoded. Cached exactly (fnet is
+    # per-frame), ~25 MB at 384x512/window-16.
+    fmaps_tail: jnp.ndarray  # (B, S//2, H/stride, W/stride, latent)
 
 
 class CoTrackerThree(nn.Module):
@@ -692,8 +719,8 @@ class CoTrackerThree(nn.Module):
             and self.corr_quant_int8
             and self.fold_input_proj
             and not self.corr_pallas_grad
-            and track_support_pyramid[0].shape[2] <= 16384
         ):
+            small_n = track_support_pyramid[0].shape[2] <= 16384
             quantized = []
             for s in track_support_pyramid:
                 snt = s.transpose(0, 2, 1, 3).astype(self.dtype)  # (B,N,S,C)
@@ -701,10 +728,17 @@ class CoTrackerThree(nn.Module):
                     jnp.max(jnp.abs(snt), axis=(2, 3)).astype(jnp.float32),
                     1e-20,
                 )
-                sq = jnp.round(
-                    snt.astype(jnp.float32) * (127.0 / amax[..., None, None])
-                ).astype(jnp.int8)
-                quantized.append((sq, amax * (1.0 / 127.0 / 128.0)))
+                if small_n:
+                    sq = jnp.round(
+                        snt.astype(jnp.float32) * (127.0 / amax[..., None, None])
+                    ).astype(jnp.int8)
+                    quantized.append((sq, amax * (1.0 / 127.0 / 128.0)))
+                else:
+                    # large N (quasi-dense): hoist only the amax REDUCTION
+                    # (it re-read the full support every iteration); the
+                    # int8 round stays in-chunk so no full-N int8 staging
+                    # exists (the round-2 OOM driver)
+                    quantized.append((snt, amax))
             track_support_pyramid = quantized
         slab_mode = (
             self.use_pallas_corr
@@ -989,6 +1023,7 @@ class CoTrackerThree(nn.Module):
         (cotracker3_online.py:163-169)."""
         P = 2 * self.corr_radius + 1
         mk = lambda shape: jnp.zeros(shape, self.dtype)
+        ih, iw = self.model_resolution
         return OnlineState(
             ind=jnp.asarray(0, jnp.int32),
             track_feat=tuple(
@@ -1001,6 +1036,15 @@ class CoTrackerThree(nn.Module):
             coords=jnp.zeros((batch, capacity, num_tracks, 2), jnp.float32),
             vis=jnp.zeros((batch, capacity, num_tracks), jnp.float32),
             conf=jnp.zeros((batch, capacity, num_tracks), jnp.float32),
+            fmaps_tail=mk(
+                (
+                    batch,
+                    self.window_len // 2,
+                    ih // self.stride,
+                    iw // self.stride,
+                    self.latent_dim,
+                )
+            ),
         )
 
     def online_step(
@@ -1033,7 +1077,22 @@ class CoTrackerThree(nn.Module):
         queried_frames = queries[..., 0].astype(jnp.float32)
         queried_coords = queries[..., 1:3].astype(jnp.float32) / self.stride
 
-        fmaps = self.compute_fmaps(video_chunk)
+        # consecutive windows overlap by `step`: the first `overlap` frames
+        # of this chunk are the previous chunk's last frames, whose level-0
+        # fmaps sit in state.fmaps_tail — re-encode only the new frames
+        # (fnet is per-frame, so the cache is exact). First window (ind==0)
+        # encodes everything.
+        fmaps = jax.lax.cond(
+            ind == 0,
+            lambda: self.compute_fmaps(video_chunk),
+            lambda: jnp.concatenate(
+                [
+                    state.fmaps_tail,
+                    self.compute_fmaps(video_chunk[:, S - step :]),
+                ],
+                axis=1,
+            ),
+        )
         fmaps_pyramid = self.build_pyramid(fmaps)
 
         # masked accumulation of track features for queries that fall in the
@@ -1140,6 +1199,8 @@ class CoTrackerThree(nn.Module):
             coords=coords_buf,
             vis=vis_buf,
             conf=conf_buf,
+            # the next window's first `step` frames are this chunk's last
+            fmaps_tail=fmaps[:, S - step :],
         )
         return (
             new_state,

@@ -45,6 +45,10 @@ from cotracker_tpu.ops.corr import window_starts_and_weights
 
 F32 = jnp.float32
 
+# bench hook (scripts/bench_corr_pp.py): force the corr kernel's
+# points-per-grid-step; None = the Tp-based auto policy
+_FORCE_PP = None
+
 
 def _shift_count(quant_int8: bool) -> int:
     """X-shift copies needed for aligned window DMAs. 8 for both bf16 and
@@ -91,15 +95,22 @@ def build_shifted_fmaps(fmaps, radius: int, compute_dtype=jnp.bfloat16, quant_in
 
 def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
             Tp, WIN, C, S, out_dtype, shifts, compute_dtype, g_int8,
-            fuse_combine):
-    """starts_* (1, Tp, 3) int32 SMEM: (flat frame index, wsy, wsx) per frame.
-    sup (1, S, C) VMEM. fm_hbm (B*T, Hp, Wp, C) stays in HBM (bf16 or int8).
-    win scratch (2, WIN, Tp*WIN, C) — or (2, Tp*WIN, WIN, C) t-major with
-    fuse_combine; sems (2, Tp) DMA semaphores. With g_int8, an extra (1, NP)
-    f32 SMEM output (whole-array block, scalar store at [0, p]) carries the
-    per-point dequant scales.
+            fuse_combine, PP=1):
+    """starts_* (PP, Tp, 3) int32 SMEM: (flat frame index, wsy, wsx) per
+    frame. sup (PP, S, C) VMEM. fm_hbm (B*T, Hp, Wp, C) stays in HBM (bf16
+    or int8). win scratch (2, PP, WIN, Tp*WIN, C) — or (2, PP, Tp*WIN, WIN,
+    C) t-major with fuse_combine; sems (2, PP, Tp) DMA semaphores. With
+    g_int8, an extra (1, NP) f32 SMEM output (whole-array block, scalar
+    store at [0, p*PP + i]) carries the per-point dequant scales.
 
-    fuse_combine: one extra (1, Tp, 2) f32 SMEM operand follows fm_hbm —
+    PP = points per grid step: at short windows (T=16, the online /
+    quasi-dense shape) the per-point fixed costs (DMA issue+wait chain,
+    SMEM descriptor reads, dot setup, output quantize/store) dominate —
+    measured ~109 vs ~53 ns/point-frame against the T=60 shape. Batching
+    PP points per step amortizes them and deepens the DMA pipeline
+    (PP*Tp transfers in flight instead of Tp).
+
+    fuse_combine: one extra (PP, Tp, 2) f32 SMEM operand follows fm_hbm —
     the per-frame bilinear fractions (wx[t], wy[t]) — and the kernel emits
     the COMBINED exact correlation volume: lanes ordered (t, y, x), so the
     x+1 / y+1 / both taps are lane rolls by 1 / 8 / 9 (sub-vreg shifts).
@@ -121,110 +132,113 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
         else:
             out_ref, win, sems = rest
     p = pl.program_id(0)
-    n_pts = pl.num_programs(0)
+    n_blocks = pl.num_programs(0)
 
-    def dma(slot, t, st_ref):
-        ft = st_ref[0, t, 0]
-        sy = st_ref[0, t, 1]
+    def dma(slot, i, t, st_ref):
+        ft = st_ref[i, t, 0]
+        sy = st_ref[i, t, 1]
         # the wrapper aligns x starts to the HBM sublane tile (8 for bf16,
         # 32 for int8) via the shifted-copy trick; Mosaic still needs the
         # divisibility hint
-        sx = pl.multiple_of(st_ref[0, t, 2], shifts)
+        sx = pl.multiple_of(st_ref[i, t, 2], shifts)
         dest = (
-            win.at[slot, pl.ds(t * WIN, WIN), :, :]
+            win.at[slot, i, pl.ds(t * WIN, WIN), :, :]
             if fuse_combine
-            else win.at[slot, :, pl.ds(t * WIN, WIN), :]
+            else win.at[slot, i, :, pl.ds(t * WIN, WIN), :]
         )
         return pltpu.make_async_copy(
             fm_hbm.at[ft, pl.ds(sy, WIN), pl.ds(sx, WIN), :], dest,
-            sems.at[slot, t],
+            sems.at[slot, i, t],
         )
 
     def issue(slot, st_ref):
-        for t in range(Tp):
-            dma(slot, t, st_ref).start()
+        for i in range(PP):
+            for t in range(Tp):
+                dma(slot, i, t, st_ref).start()
 
-    # warm-up: this point's windows (issued here only on the first grid step;
-    # afterwards step p-1 already issued them as its "next")
+    # warm-up: this block's windows (issued here only on the first grid
+    # step; afterwards step p-1 already issued them as its "next")
     @pl.when(p == 0)
     def _():
         issue(0, starts_cur_ref)
 
-    # prefetch the NEXT point's windows into the other buffer. Its previous
-    # contents were consumed by the matmul of step p-1, which precedes these
+    # prefetch the NEXT block's windows into the other buffer. Its previous
+    # contents were consumed by the matmuls of step p-1, which precede these
     # starts in program order.
-    @pl.when(p + 1 < n_pts)
+    @pl.when(p + 1 < n_blocks)
     def _():
         issue((p + 1) % 2, starts_nxt_ref)
 
-    # wait for this point's windows. The copies were issued from the same
-    # starts values (step p-1's starts_nxt == step p's starts_cur), so
-    # reconstructing them here waits on identical transfers.
     slot = p % 2
-    for t in range(Tp):
-        dma(slot, t, starts_cur_ref).wait()
-
-    # flatten the window slab; both layouts merge an outer dim with a full
-    # 8-sublane tile, which is a free shape cast:
-    #   plain:        (WIN, Tp*WIN, C) -> rows r = y*(Tp*WIN) + t*WIN + x
-    #   fuse_combine: (Tp*WIN, WIN, C) -> rows r = t*WIN*WIN + y*WIN + x
-    win2 = win[slot].reshape(WIN * Tp * WIN, C)
-    # transposed contraction: the long window axis lands on LANES of the
-    # output, so the (NP, S, R) result tiles without padding — the natural
-    # (R, S) orientation pads S=49 lanes to 128 and writes 2.6x the bytes.
-    # MXU efficiency is identical (the 49/128 under-fill just moves to M).
-    # Quantized path: both operands int8 -> native s8 x s8 -> s32 MXU dot
-    # (no VPU convert of the window slab); dequant scales live in the
-    # epilogue.
-    g = jax.lax.dot_general(
-        sup_ref[0], win2, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32 if g_int8 else F32,
-    )  # (S, WIN*Tp*WIN)
-    if fuse_combine:
-        # exact bilinear combine, lanes (t, y, x): the value at lane r
-        # combines taps r, r+1 (x+1), r+8 (y+1) and r+9 — one (wx, wy) per
-        # frame thanks to the shared-fraction identity (module docstring).
-        # The combine is linear in g, so the quant path's dequant scales
-        # stay exactly where they are today (per-point output scale below,
-        # support scale folded by the wrapper epilogue).
-        g = g.astype(F32)
-        # lane-broadcast the per-frame scalar fractions: wv rows [wx; wy],
-        # 64 lanes per frame
+    for i in range(PP):
+        # wait for point i's windows. The copies were issued from the same
+        # starts values (step p-1's starts_nxt == step p's starts_cur), so
+        # reconstructing them here waits on identical transfers.
         for t in range(Tp):
-            wv[0:1, pl.ds(t * WIN * WIN, WIN * WIN)] = jnp.full(
-                (1, WIN * WIN), wxy_ref[0, t, 0], F32
-            )
-            wv[1:2, pl.ds(t * WIN * WIN, WIN * WIN)] = jnp.full(
-                (1, WIN * WIN), wxy_ref[0, t, 1], F32
-            )
-        wx = wv[0:1, :]
-        wy = wv[1:2, :]
-        R_ = g.shape[1]
-        # pltpu.roll wants non-negative shifts; roll by R-k == roll by -k
-        g01 = pltpu.roll(g, R_ - 1, 1)
-        g10 = pltpu.roll(g, R_ - WIN, 1)
-        g11 = pltpu.roll(g, R_ - (WIN + 1), 1)
-        gx = g + wx * (g01 - g)  # = (1-wx)*g + wx*g01
-        gx1 = g10 + wx * (g11 - g10)
-        c = gx + wy * (gx1 - gx)
-        if g_int8:
-            scale = jnp.maximum(jnp.max(jnp.abs(c)), 1e-20) * (1.0 / 127.0)
-            scale_ref[0, p] = scale
-            out_ref[0] = jnp.round(c * (1.0 / scale)).astype(jnp.int8)
+            dma(slot, i, t, starts_cur_ref).wait()
+
+        # flatten the window slab; both layouts merge an outer dim with a
+        # full 8-sublane tile, which is a free shape cast:
+        #   plain:        (WIN, Tp*WIN, C) -> rows r = y*(Tp*WIN) + t*WIN + x
+        #   fuse_combine: (Tp*WIN, WIN, C) -> rows r = t*WIN*WIN + y*WIN + x
+        win2 = win[slot, i].reshape(WIN * Tp * WIN, C)
+        # transposed contraction: the long window axis lands on LANES of the
+        # output, so the (NP, S, R) result tiles without padding — the
+        # natural (R, S) orientation pads S=49 lanes to 128 and writes 2.6x
+        # the bytes. MXU efficiency is identical (the 49/128 under-fill just
+        # moves to M). Quantized path: both operands int8 -> native
+        # s8 x s8 -> s32 MXU dot (no VPU convert of the window slab);
+        # dequant scales live in the epilogue.
+        g = jax.lax.dot_general(
+            sup_ref[i], win2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if g_int8 else F32,
+        )  # (S, WIN*Tp*WIN)
+        if fuse_combine:
+            # exact bilinear combine, lanes (t, y, x): the value at lane r
+            # combines taps r, r+1 (x+1), r+8 (y+1) and r+9 — one (wx, wy)
+            # per frame thanks to the shared-fraction identity (module
+            # docstring). The combine is linear in g, so the quant path's
+            # dequant scales stay exactly where they are today (per-point
+            # output scale below, support scale folded by the wrapper
+            # epilogue).
+            g = g.astype(F32)
+            # lane-broadcast the per-frame scalar fractions: wv rows
+            # [wx; wy], 64 lanes per frame
+            for t in range(Tp):
+                wv[0:1, pl.ds(t * WIN * WIN, WIN * WIN)] = jnp.full(
+                    (1, WIN * WIN), wxy_ref[i, t, 0], F32
+                )
+                wv[1:2, pl.ds(t * WIN * WIN, WIN * WIN)] = jnp.full(
+                    (1, WIN * WIN), wxy_ref[i, t, 1], F32
+                )
+            wx = wv[0:1, :]
+            wy = wv[1:2, :]
+            R_ = g.shape[1]
+            # pltpu.roll wants non-negative shifts; roll by R-k == roll -k
+            g01 = pltpu.roll(g, R_ - 1, 1)
+            g10 = pltpu.roll(g, R_ - WIN, 1)
+            g11 = pltpu.roll(g, R_ - (WIN + 1), 1)
+            gx = g + wx * (g01 - g)  # = (1-wx)*g + wx*g01
+            gx1 = g10 + wx * (g11 - g10)
+            c = gx + wy * (gx1 - gx)
+            if g_int8:
+                scale = jnp.maximum(jnp.max(jnp.abs(c)), 1e-20) * (1.0 / 127.0)
+                scale_ref[0, p * PP + i] = scale
+                out_ref[i] = jnp.round(c * (1.0 / scale)).astype(jnp.int8)
+            else:
+                out_ref[i] = c.astype(out_dtype)
+        elif g_int8:
+            g = g.astype(F32)
+            # per-point dynamic quantization of the correlation volume:
+            # halves the g write here AND the epilogue's read. For
+            # L2-normalized features |g| <= 1 (Cauchy-Schwarz), so the
+            # relative step is ~1/254 of the per-point max — the same order
+            # as bf16 rounding.
+            scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-20) * (1.0 / 127.0)
+            scale_ref[0, p * PP + i] = scale
+            out_ref[i] = jnp.round(g * (1.0 / scale)).astype(jnp.int8)
         else:
-            out_ref[0] = c.astype(out_dtype)
-        return
-    if g_int8:
-        g = g.astype(F32)
-        # per-point dynamic quantization of the correlation volume: halves
-        # the g write here AND the epilogue's read. For L2-normalized
-        # features |g| <= 1 (Cauchy-Schwarz), so the relative step is
-        # ~1/254 of the per-point max — the same order as bf16 rounding.
-        scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-20) * (1.0 / 127.0)
-        scale_ref[0, p] = scale
-        out_ref[0] = jnp.round(g * (1.0 / scale)).astype(jnp.int8)
-    else:
-        out_ref[0] = g.astype(out_dtype)
+            out_ref[i] = g.astype(out_dtype)
 
 
 def _corr_level_plan(
@@ -275,13 +289,18 @@ def _corr_level_plan(
     # the iteration scan by CoTrackerThree.iterate at moderate N — support
     # is iteration-invariant, so the per-iter re-quantize (amax + round per
     # chunk, ~25 ms/forward at the bench shape) is pure waste there.
-    pre_quant = isinstance(support, tuple)
+    # third form at large N: (bf16 support, f32 (B, N) amax) — the amax
+    # REDUCTION hoisted out of the scan (it re-read the full support every
+    # iteration, ~116 ms/step at quasi-dense N) while the int8 round stays
+    # in-chunk so no full-N int8 staging exists
+    pre_quant = isinstance(support, tuple) and support[0].dtype == jnp.int8
+    pre_amax = isinstance(support, tuple) and not pre_quant
     if quant_int8:
         assert fmaps_p.dtype == jnp.int8, fmaps_p.dtype
-        if not pre_quant:
+        if not (pre_quant or pre_amax):
             support = support.astype(compute_dtype)
     else:
-        assert not pre_quant
+        assert not isinstance(support, tuple)
     # compute the per-(point, frame) fields TRACK-major from the start: the
     # transpose rides the tiny (B, T, N, 2) coords tensor instead of the
     # stacked int starts — frame-major construction left the (B, N, Tp, 3)
@@ -310,8 +329,10 @@ def _corr_level_plan(
         starts = jnp.concatenate([starts, starts[:, :, -1:]], axis=2)
 
     cd = compute_dtype
-    if pre_quant:
-        sup, sup_scale = support  # int8 (B, N, S, C), f32 (B, N)
+    if pre_quant or pre_amax:
+        sup, sup_scale = support  # (B, N, S, C) int8|bf16, f32 (B, N)
+        if pre_amax:
+            sup = sup.astype(cd)
     else:
         sup, sup_scale = support.astype(cd), None  # (B, N, S, C)
     wxn = wx  # (B, N, T)
@@ -320,6 +341,19 @@ def _corr_level_plan(
     R = WIN * Tp * WIN
     fmh = fmaps_p  # (8*B*T, Hp, Wp, C)
 
+    # points per grid step: amortize the per-point fixed costs (DMA
+    # issue/wait chain, descriptor reads, dot setup, output store) at short
+    # windows, where they dominate — T=16 measured ~109 ns/point-frame vs
+    # ~53 at T=60 with PP=1. VMEM cost is 2*PP window slabs (~262 KB each
+    # at T=16 int8), so deep batching is cheap exactly where it is needed.
+    if _FORCE_PP is not None:
+        PP = _FORCE_PP
+    elif Tp <= 16:
+        PP = 8
+    elif Tp <= 32:
+        PP = 4
+    else:
+        PP = 1
     kernel = functools.partial(
         _kernel, Tp=Tp, WIN=WIN, C=C, S=S, out_dtype=cd,
         shifts=shifts, compute_dtype=cd, g_int8=quant_int8,
@@ -329,16 +363,22 @@ def _corr_level_plan(
 
     def hidden(starts_c, sup_c, *rest):
         # starts_c (B, n, Tp, 3); sup_c (B, n, S, C); wx_c/wy_c (B, n, T);
-        # with pre-quantized support, rest additionally leads with the
-        # per-point (B, n) dequant scales
+        # with pre-quantized / pre-amax support, rest additionally leads
+        # with the per-point (B, n) scale|amax
         if pre_quant:
             sup_scale_c, wx_c, wy_c = rest
+        elif pre_amax:
+            amax_c, wx_c, wy_c = rest
+            sup_scale_c = amax_c * (1.0 / 127.0 / 128.0)
+            sup_c = jnp.round(
+                sup_c.astype(F32) * (127.0 / amax_c[..., None, None])
+            ).astype(jnp.int8)
         else:
             sup_scale_c = None
             wx_c, wy_c = rest
         n = starts_c.shape[1]
         NP = B * n
-        if quant_int8 and not pre_quant:
+        if quant_int8 and not (pre_quant or pre_amax):
             # per-point dynamic support quantization, in-chunk (see prep
             # comment): the contraction runs natively s8 x s8 -> s32 on the
             # MXU; the 1/128 window scale and this per-point scale both fold
@@ -357,28 +397,31 @@ def _corr_level_plan(
             sup_c = jnp.round(
                 sup_c.astype(F32) * (127.0 / amax[..., None, None])
             ).astype(jnp.int8)
+        pp = PP if NP % PP == 0 else 1
+        NB = NP // pp
+        kern = functools.partial(kernel, PP=pp)
         if quant_int8:
             out_shape = [
                 jax.ShapeDtypeStruct((NP, S, R), jnp.int8),
                 jax.ShapeDtypeStruct((1, NP), jnp.float32),
             ]
             out_specs = [
-                pl.BlockSpec((1, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((pp, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, NP), lambda p: (0, 0), memory_space=pltpu.SMEM),
             ]
         else:
             out_shape = jax.ShapeDtypeStruct((NP, S, R), cd)
             out_specs = pl.BlockSpec(
-                (1, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+                (pp, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
             )
         in_specs = [
-            pl.BlockSpec((1, Tp, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((pp, Tp, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, Tp, 3),
-                lambda p: (jnp.minimum(p + 1, NP - 1), 0, 0),
+                (pp, Tp, 3),
+                lambda p: (jnp.minimum(p + 1, NB - 1), 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, S, C), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pp, S, C), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # fmaps stay in HBM
         ]
         operands = [
@@ -399,21 +442,21 @@ def _corr_level_plan(
             ).reshape(NP, Tp, 2).astype(jnp.float32)
             operands.append(wxy)
             in_specs.append(
-                pl.BlockSpec((1, Tp, 2), lambda p: (p, 0, 0), memory_space=pltpu.SMEM)
+                pl.BlockSpec((pp, Tp, 2), lambda p: (p, 0, 0), memory_space=pltpu.SMEM)
             )
         win_shape = (
-            (2, Tp * WIN, WIN, C) if fuse_combine else (2, WIN, Tp * WIN, C)
+            (2, pp, Tp * WIN, WIN, C) if fuse_combine else (2, pp, WIN, Tp * WIN, C)
         )
         scratch = [
             pltpu.VMEM(win_shape, jnp.int8 if quant_int8 else cd),
-            pltpu.SemaphoreType.DMA((2, Tp)),
+            pltpu.SemaphoreType.DMA((2, pp, Tp)),
         ]
         if fuse_combine:
             scratch.append(pltpu.VMEM((2, R), jnp.float32))
         g = pl.pallas_call(
-            kernel,
+            kern,
             out_shape=out_shape,
-            grid=(NP,),
+            grid=(NB,),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
@@ -491,7 +534,7 @@ def _corr_level_plan(
         ).astype(cd) + b1.astype(cd)
         return jax.nn.gelu(h, approximate=False)
 
-    if pre_quant:
+    if pre_quant or pre_amax:
         return (starts, sup, sup_scale, wxn, wyn), hidden
     return (starts, sup, wxn, wyn), hidden
 

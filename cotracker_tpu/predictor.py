@@ -96,8 +96,13 @@ class CoTrackerPredictor:
     # ------------------------------------------------------------------- dense
 
     def _compute_dense_tracks(self, video, grid_query_frame, grid_size=80, backward_tracking=False):
-        """Tile a dense grid over pixel offsets (reference predictor.py:70-98)."""
-        video = np.asarray(video)
+        """Tile a dense grid over pixel offsets (reference predictor.py:70-98).
+
+        The video is uploaded to the device ONCE and shared by all
+        grid_step^2 per-offset forwards (over a remote-tunnel backend the
+        per-offset re-upload would cost more than the forward itself)."""
+        if not isinstance(video, jnp.ndarray):
+            video = jnp.asarray(np.asarray(video, dtype=np.float32))
         *_, H, W = video.shape
         grid_step = W // grid_size
         grid_width = W // grid_step
@@ -128,7 +133,10 @@ class CoTrackerPredictor:
         grid_query_frame: int = 0,
         backward_tracking: bool = False,
     ):
-        video = np.asarray(video, dtype=np.float32)
+        if not isinstance(video, jnp.ndarray):
+            # device-resident videos stay resident (the dense tiling loop
+            # passes the same uploaded video to every offset forward)
+            video = np.asarray(video, dtype=np.float32)
         B, T, C, H, W = video.shape
         ih, iw = self.interp_shape
 
@@ -330,6 +338,9 @@ class CoTrackerOnlinePredictor:
             coords=P(None, None, "track", None),
             vis=P(None, None, "track"),
             conf=P(None, None, "track"),
+            # per-frame feature maps: replicated (every track shard encodes
+            # the chunk redundantly, like fnet itself on this path)
+            fmaps_tail=P(),
         )
 
     def __call__(

@@ -369,6 +369,7 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
         run_eval(params, 0)
 
     t_start = time.time()
+    sub_cache = []
     try:
         for step in range(step0, args.num_steps):
             batch_np = next(loader)
@@ -376,7 +377,13 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
                 batch = dist.global_batch(mesh, dict(BATCH_PSPECS), batch_np)
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            key, sub = jax.random.split(key)
+            # split step keys in batches: jax.random.split is an eager op —
+            # one dispatch round trip PER STEP on remote-compile backends
+            # (~100 ms over the axon tunnel, ~20% of a train step)
+            if not sub_cache:
+                keys = jax.random.split(key, 65)
+                key, sub_cache = keys[0], list(keys[1:])
+            sub = sub_cache.pop()
             params, opt_state, aux = step_fn(params, opt_state, sub, batch)
             if main_process:
                 logger.push({k: v for k, v in aux.items()}, step)

@@ -87,5 +87,10 @@ if __name__ == "__main__":
         shapes += [(70656, 16), (10048, 60)]
     for M, T in shapes:
         a = run(M, T, force_pad=True)
+        if not mp._reshape_repack_ok(T, jnp.bfloat16):
+            # bf16 reshape repack needs T % 16 == 0 — no B arm exists at
+            # this shape (the kernel would correctly take scratch anyway)
+            print(f"  -> T={T}: reshape path illegal (bf16 T%16!=0), scratch only", flush=True)
+            continue
         b = run(M, T, force_pad=False)
         print(f"  -> speedup {a/b:.2f}x", flush=True)

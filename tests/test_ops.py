@@ -229,3 +229,52 @@ class TestSamplersAndMasked:
         ref_d = reduce_masked_mean(torch.from_numpy(x), torch.from_numpy(m), dim=1).numpy()
         out_d = ops.reduce_masked_mean(jnp.asarray(x), jnp.asarray(m), axis=1)
         np.testing.assert_allclose(_np(out_d), ref_d, rtol=1e-5, atol=1e-6)
+
+
+class TestTrackFeatWindowed:
+    """get_track_feat's windowed sampler (round-4: replaces ~134 ms of
+    jnp.take gathers) vs the per-tap trilinear formulation: exact for
+    integer, fractional, and edge query frames, and the N-chunked large-N
+    path equals the unchunked one."""
+
+    def _data(self, N=23, T=7):
+        rng = np.random.default_rng(11)
+        B, H, W, C = 2, 20, 28, 8
+        fmaps = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+        qf = jnp.asarray(rng.integers(0, T, (B, N)).astype(np.float32))
+        qc = jnp.asarray(
+            rng.random((B, N, 2)).astype(np.float32)
+            * np.array([W + 6, H + 6], np.float32)
+            - 3
+        )
+        return fmaps, qf, qc
+
+    def test_matches_tap_formulation(self):
+        from cotracker_tpu.models.cotracker3 import (
+            _get_track_feat_taps,
+            get_track_feat,
+        )
+
+        fmaps, qf, qc = self._data()
+        # integer, fractional, and edge (t = T-1 / out-of-range) frames
+        for frames in (qf, qf * 0.63 + 0.2, jnp.full_like(qf, fmaps.shape[1] - 1),
+                       qf + 100.0):
+            center, support = get_track_feat(fmaps, frames, qc, 3)
+            sref = _get_track_feat_taps(fmaps, frames, qc, 3)
+            np.testing.assert_allclose(
+                np.asarray(support), np.asarray(sref), rtol=1e-5, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(center), np.asarray(sref[:, None, 24]), rtol=1e-5,
+                atol=1e-5,
+            )
+
+    def test_chunked_equals_unchunked(self, monkeypatch):
+        import cotracker_tpu.models.cotracker3 as m
+
+        fmaps, qf, qc = self._data(N=23)
+        ref_c, ref_s = m.get_track_feat(fmaps, qf, qc, 3)
+        monkeypatch.setattr(m, "_TRACK_FEAT_CHUNK", 5)
+        c, s = m.get_track_feat(fmaps, qf, qc, 3)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
