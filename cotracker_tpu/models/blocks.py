@@ -402,7 +402,7 @@ class AttnBlock(nn.Module):
             self.hidden_size, approximate_gelu=True, dtype=self.dtype,
         )
 
-    def _quant_forward(self, x):
+    def _quant_forward(self, x, x_4d: bool = False):
         from cotracker_tpu.ops.kernels.attention_pallas import fused_time_attention
         from cotracker_tpu.ops.kernels.mlp_int8_pallas import (
             fused_attnout_res_mlp_int8,
@@ -411,45 +411,64 @@ class AttnBlock(nn.Module):
         )
 
         at = self.attn
-        # whole-block kernel: q/kv/attention-out never leave VMEM
+        # whole-block kernel: q/kv/attention-out never leave VMEM. With
+        # x_4d the tokens stay in the space kernels' (M, T, C//128, 128)
+        # layout end to end — no relayout at the space/time boundaries.
         y = fused_time_block_int8(
             x, at.to_q.kernel, at.to_q.bias, at.to_kv.kernel, at.to_kv.bias,
             at.to_out.kernel, at.to_out.bias,
             self.mlp.fc1.kernel, self.mlp.fc1.bias,
             self.mlp.fc2.kernel, self.mlp.fc2.bias,
-            self.num_heads, self.dim_head,
+            self.num_heads, self.dim_head, x_4d=x_4d,
         )
         if y is not None:
             return y
+        if x_4d:
+            M, T, L, _ = x.shape
+            x = x.reshape(M, T, L * 128)
         # three-kernel split (q/kv and attention-out round-trip HBM)
         qkv = fused_ln_qkv_int8(x, at.to_q.kernel, at.to_q.bias,
                                 at.to_kv.kernel, at.to_kv.bias)
         if qkv is None:
             return None
         a = fused_time_attention(qkv[0], qkv[1], self.num_heads, self.dim_head)
-        return fused_attnout_res_mlp_int8(
+        y = fused_attnout_res_mlp_int8(
             a, x, at.to_out.kernel, at.to_out.bias,
             self.mlp.fc1.kernel, self.mlp.fc1.bias,
             self.mlp.fc2.kernel, self.mlp.fc2.bias,
         )
+        if y is not None and x_4d:
+            M, T, C = y.shape
+            y = y.reshape(M, T, C // 128, 128)
+        return y
 
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None, quant_ok: bool = True):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, quant_ok: bool = True,
+                 x_4d: bool = False):
         # quant_ok: static caller-side gate — the updateformer disables the
         # fused block when the DOWNSTREAM space round cannot tile N: a fused
         # time block feeding the XLA space einsums forces layout copies of
         # the token tensor (~+70 ms/iter measured), so engage all-or-nothing.
+        # x_4d: tokens arrive/return in the space kernels' (M, T, C//128,
+        # 128) lane-split layout (quant path only; callers guarantee the
+        # quant gate holds when setting it).
         if (
             self.quant_int8
             and quant_ok
             and not os.environ.get("COTRACKER_NO_TIME_QUANT")  # A/B debug knob
             and mask is None
-            and x.ndim == 3
+            and x.ndim == (4 if x_4d else 3)
             and x.shape[0] % 8 == 0
             and self.hidden_size == self.num_heads * self.dim_head
         ):
-            y = self._quant_forward(x)
+            y = self._quant_forward(x, x_4d=x_4d)
             if y is not None:
                 return y
+        if x_4d:
+            # quant path declined (shape/tiling): continue on the flat XLA
+            # body and hand back 4D so the caller's layout contract holds
+            M, T, L, _ = x.shape
+            y = self.__call__(x.reshape(M, T, L * 128), mask=mask, quant_ok=False)
+            return y.reshape(M, T, L, 128)
         attn_bias = None
         if mask is not None:
             # pairwise mask: query i attends key j iff mask_i & mask_j

@@ -135,11 +135,36 @@ class EfficientUpdateFormer(nn.Module):
         else:
             quant_ok = True
 
+        # 4D token residency: when the fused quant kernels run, the big
+        # point-token tensor moves between time and space blocks in the
+        # space kernels' (·, T, C//128, 128) lane-split layout — the time
+        # block's x_4d entry reads/writes it directly, so XLA inserts no
+        # relayout at the block boundaries (the flat entry cost a full
+        # token-tensor squeeze/copy_bitcast pair per space round). The tiny
+        # virtual tokens stay flat.
+        import os as _os
+
+        use_4d = (
+            self.quant_int8
+            and quant_ok
+            and space_runs
+            and C % 128 == 0
+            and not _os.environ.get("COTRACKER_NO_TIME_QUANT")
+            and not _os.environ.get("COTRACKER_NO_4D_TOKENS")  # A/B knob
+        )
+        L = C // 128
+
         j = 0
         for i in range(self.time_depth):
-            tokens = time_blocks[i](
-                tokens.reshape(B * N, T, C), quant_ok=quant_ok
-            ).reshape(B, N, T, C)
+            if use_4d:
+                tokens = time_blocks[i](
+                    tokens.reshape(B * N, T, L, 128), quant_ok=quant_ok,
+                    x_4d=True,
+                ).reshape(B, N, T, C)
+            else:
+                tokens = time_blocks[i](
+                    tokens.reshape(B * N, T, C), quant_ok=quant_ok
+                ).reshape(B, N, T, C)
             virtual = time_blocks[i](
                 virtual.reshape(B * V, T, C), quant_ok=quant_ok
             ).reshape(B, V, T, C)

@@ -501,7 +501,8 @@ def fused_space_block_int8(x, kv, wq, bq, wo, bo, w1, b1, w2, b2,
 def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
                        bkv_ref, wo_ref, so_ref, bo_ref, w1_ref, s1_ref,
                        b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *scratch,
-                       num_heads, dim_head, T, TB, Tp, eps, mlp_chunks, pad):
+                       num_heads, dim_head, T, TB, Tp, eps, mlp_chunks, pad,
+                       x4=False):
     """One track-tile of a full time-attention block.
 
     x (TB*T, C): the tile's tokens, flat (the (BN, T, C) HBM layout IS
@@ -519,7 +520,15 @@ def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
     # `pad` is the HOST's path decision (see fused_time_block_int8) — never
     # re-derived here: Tp == T does NOT imply the reshape is legal (bf16
     # T=8/24/… round up to themselves but straddle a 16-row sublane tile).
-    x32 = x_ref[...].astype(F32)
+    xv = x_ref[...]
+    if x4:
+        # 4D token-resident entry: the block arrives (TB, T, C//128, 128)
+        # in the space kernels' T(4,128) layout; Mosaic's in-VMEM merge to
+        # flat (TB*T, C) rows measures within 10% of a plain copy
+        # (scripts probe, round 4) — far cheaper than the XLA relayout the
+        # flat entry forced between every space round and time block.
+        xv = xv.reshape(TB * T, C)
+    x32 = xv.astype(F32)
 
     h = _ln(x32, eps)
     hq, sr = _quant_rows(h)
@@ -586,7 +595,8 @@ def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
         uq, sr1 = _quant_rows(u)
         y = jax.lax.dot(uq, w2_ref[...], preferred_element_type=jnp.int32)
         ys.append(rc + y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...])
-    o_ref[...] = jnp.concatenate(ys, axis=0).astype(o_ref.dtype)
+    out = jnp.concatenate(ys, axis=0).astype(o_ref.dtype)
+    o_ref[...] = out.reshape(TB, T, C // 128, 128) if x4 else out
 
 
 def _pick_time_tile(M, T):
@@ -612,7 +622,8 @@ def _pick_time_tile(M, T):
 
 def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
                           num_heads: int, dim_head: int, eps: float = 1e-6,
-                          track_block=None, interpret: bool = False):
+                          track_block=None, interpret: bool = False,
+                          x_4d: bool = False):
     """Full pre-norm time-attention block body in one pass over the tokens:
 
         q, kv = to_q(ln(x)), to_kv(ln(x)); a = per-track attention over T
@@ -622,8 +633,20 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
     projections/MLP, bf16 attention core, all in VMEM — HBM traffic is one
     read of x and one write of the result. Returns None when shapes don't
     fit the tiling (callers fall back to the three-kernel / XLA path).
+
+    x_4d: x arrives AND returns as (M, T, C//128, 128) — the lane-split
+    T(4,128) layout the fused space kernels read and write. Declaring the
+    same 4D layout here lets XLA connect space-round outputs straight into
+    the next time block with NO relayout (the flat entry cost a
+    squeeze/copy_bitcast pair of the full token tensor per space round,
+    ~53 ms of the bench forward); the flat<->4D reshapes happen in-VMEM
+    inside the kernel at near-copy speed.
     """
-    M, T, C = x.shape
+    if x_4d:
+        M, T, L, _ = x.shape
+        C = L * 128
+    else:
+        M, T, C = x.shape
     H = w1.shape[1]
     if track_block is None:
         track_block = _pick_time_tile(M, T)
@@ -658,16 +681,27 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
     kernel = functools.partial(
         _time_block_kernel, num_heads=num_heads, dim_head=dim_head, T=T,
         TB=track_block, Tp=(Tp if pad else T), eps=eps, mlp_chunks=mlp_chunks,
-        pad=pad,
+        pad=pad, x4=x_4d,
     )
     row = lambda v, n: v.astype(F32).reshape(1, n)
     wcol = lambda w_s: w_s
+    if x_4d:
+        L = C // 128
+        x_op = x
+        x_spec = pl.BlockSpec((track_block, T, L, 128), lambda i: (i, 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((M, T, L, 128), x.dtype)
+        out_spec = pl.BlockSpec((track_block, T, L, 128), lambda i: (i, 0, 0, 0))
+    else:
+        x_op = x.reshape(M * T, C)
+        x_spec = pl.BlockSpec((tokens, C), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((M * T, C), x.dtype)
+        out_spec = pl.BlockSpec((tokens, C), lambda i: (i, 0))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((M * T, C), x.dtype),
+        out_shape=out_shape,
         grid=(M // track_block,),
         in_specs=[
-            pl.BlockSpec((tokens, C), lambda i: (i, 0)),
+            x_spec,
             pl.BlockSpec((C, C), lambda i: (0, 0)),
             pl.BlockSpec((1, C), lambda i: (0, 0)),
             pl.BlockSpec((1, C), lambda i: (0, 0)),
@@ -684,7 +718,7 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
             pl.BlockSpec((1, C), lambda i: (0, 0)),
             pl.BlockSpec((1, C), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tokens, C), lambda i: (i, 0)),
+        out_specs=out_spec,
         scratch_shapes=(
             [
                 pltpu.VMEM((track_block, Tp, C), x.dtype),
@@ -695,11 +729,11 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
         ),
         interpret=interpret,
     )(
-        x.reshape(M * T, C),
+        x_op,
         wqq, sq, row(bq, C),
         wkvq, skv, row(bkv, 2 * C),
         woq, so, row(bo, C),
         w1q, s1, row(b1, H),
         w2q, s2, row(b2, C),
     )
-    return out.reshape(M, T, C)
+    return out if x_4d else out.reshape(M, T, C)

@@ -393,6 +393,29 @@ class TestWholeBlockKernels:
             )
             self._check(out, ref)
 
+    def test_time_block_4d_entry(self):
+        # the x_4d entry ((M, T, C//128, 128) in/out — the space kernels'
+        # lane-split layout) must agree exactly with the flat entry
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_time_block_int8
+
+        rng = np.random.default_rng(7)
+        Hh, D, HID = 8, 48, 1536
+        C = Hh * D
+        M, T = 32, 8
+        p = self._mk_params(rng, C, HID)
+        x = jnp.asarray(rng.standard_normal((M, T, C)).astype(np.float32))
+        args = (p["wq"], p["bq"], p["wkv"], p["bkv"], p["wo"], p["bo"],
+                p["w1"], p["b1"], p["w2"], p["b2"], Hh, D)
+        flat = fused_time_block_int8(x, *args, track_block=16, interpret=True)
+        four = fused_time_block_int8(
+            x.reshape(M, T, C // 128, 128), *args, track_block=16,
+            interpret=True, x_4d=True,
+        )
+        assert four.shape == (M, T, C // 128, 128)
+        np.testing.assert_array_equal(
+            np.asarray(four).reshape(M, T, C), np.asarray(flat)
+        )
+
     def test_time_block_repack_path_selection(self):
         # The repack path is decided HOST-side and passed into the kernel;
         # the kernel must never infer it from Tp != T (advisor r3-high: bf16
