@@ -599,21 +599,23 @@ def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
     o_ref[...] = out.reshape(TB, T, C // 128, 128) if x4 else out
 
 
-def _pick_time_tile(M, T):
-    """Track-tile size for the whole-block time kernel: target ~768-1536
-    tokens per grid step.
+def _pick_time_tile(M, T, max_tokens=1536):
+    """Track-tile size for the whole-block time kernel: target ~768
+    tokens/grid step up to `max_tokens`.
 
     Grow at short windows (T=16, the online/quasi-dense shape: a fixed
     TB=16 left 256-token steps whose per-step overheads — activation
     quantize, LN, attention repack — measured 3.4x worse per token than the
     T=60 offline shape) and SHRINK at long windows so the per-block VMEM
     stack (x tile + (TB, Tp, 3C) attention scratch + MLP transients) stays
-    inside the 16 MB scoped limit (TB=16 at T=120 overflowed it by 4.4 MB).
+    inside the 16 MB scoped limit (TB=16 at T=120 overflowed it by 4.4 MB;
+    the x_4d entry's in-kernel merge temp overflowed TB=16 at T=96 by
+    2.3 MB, hence its tighter max_tokens).
     Returns None when no tile fits (callers fall back to the XLA path)."""
     tb = 16
     while tb * T < 768 and tb < 128 and M % (2 * tb) == 0:
         tb *= 2
-    while tb > 8 and tb * T > 1536 and M % (tb // 2) == 0:
+    while tb > 8 and tb * T > max_tokens and M % (tb // 2) == 0:
         tb //= 2
     if tb * T > 2048 or M % tb:
         return None
@@ -649,7 +651,10 @@ def fused_time_block_int8(x, wq, bq, wkv, bkv, wo, bo, w1, b1, w2, b2,
         M, T, C = x.shape
     H = w1.shape[1]
     if track_block is None:
-        track_block = _pick_time_tile(M, T)
+        # the x_4d entry holds both the (TB, T, 3, 128) block and its merged
+        # flat copy in the scoped-VMEM stack — cap its tokens tighter (the
+        # bench shapes T=60/TB=16 = 960 tokens are unaffected)
+        track_block = _pick_time_tile(M, T, max_tokens=1024 if x_4d else 1536)
         if track_block is None:
             return None
     if C != num_heads * dim_head or C % 128 or H % 128 or M % track_block:

@@ -416,6 +416,18 @@ class TestWholeBlockKernels:
             np.asarray(four).reshape(M, T, C), np.asarray(flat)
         )
 
+    def test_time_tile_budget(self):
+        # the x_4d entry holds the 4D block AND its merged flat copy in the
+        # scoped-VMEM stack: its token cap must shrink the tile at long T
+        # (TB=16 at T=96 overflowed scoped vmem by 2.3 MB on hardware)
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import _pick_time_tile
+
+        assert _pick_time_tile(2048, 96, max_tokens=1024) == 8
+        assert _pick_time_tile(2048, 96, max_tokens=1536) == 16
+        # bench shapes unaffected by the tighter 4D cap
+        assert _pick_time_tile(10240, 60, max_tokens=1024) == 16
+        assert _pick_time_tile(70656, 16, max_tokens=1024) == 64
+
     def test_time_block_repack_path_selection(self):
         # The repack path is decided HOST-side and passed into the kernel;
         # the kernel must never infer it from Tp != T (advisor r3-high: bf16
