@@ -524,6 +524,13 @@ class OnlineState(NamedTuple):
     # frames the previous step already encoded. Cached exactly (fnet is
     # per-frame), ~25 MB at 384x512/window-16.
     fmaps_tail: jnp.ndarray  # (B, S//2, H/stride, W/stride, latent)
+    # number of REAL (non-padded) frames in fmaps_tail: callers pad short
+    # chunks by repeating the last frame (reference cotracker3_online.py:
+    # 320-328), so a tail cached from a padded chunk holds features of fake
+    # frames — if the stream then CONTINUES with the real frames, the cache
+    # must not serve them. online_step re-encodes everything unless
+    # tail_valid == step.
+    tail_valid: jnp.ndarray  # () int32
 
 
 class CoTrackerThree(nn.Module):
@@ -1045,6 +1052,7 @@ class CoTrackerThree(nn.Module):
                     self.latent_dim,
                 )
             ),
+            tail_valid=jnp.asarray(0, jnp.int32),
         )
 
     def online_step(
@@ -1055,6 +1063,7 @@ class CoTrackerThree(nn.Module):
         iters: int = 4,
         track_mask: Optional[jnp.ndarray] = None,
         add_space_attn: bool = True,
+        chunk_valid_len=None,
     ):
         """Process one sliding window [ind, ind+S) of the stream.
 
@@ -1062,6 +1071,9 @@ class CoTrackerThree(nn.Module):
         exactly S = window_len frames (callers pad short tails by repeating
         the last frame, as the reference does at cotracker3_online.py:320-328).
         queries (B, N, 3) global (t, x, y) in model pixels.
+        chunk_valid_len: number of REAL frames in the chunk before padding
+        (defaults to S). Gates the fmaps_tail overlap cache: a tail cached
+        from padded frames is not reused if the stream continues.
 
         Returns (new_state, coords (B, CAP, N, 2) pixels, vis/conf (B, CAP, N)
         probabilities) where the prediction buffers are valid on
@@ -1081,9 +1093,11 @@ class CoTrackerThree(nn.Module):
         # of this chunk are the previous chunk's last frames, whose level-0
         # fmaps sit in state.fmaps_tail — re-encode only the new frames
         # (fnet is per-frame, so the cache is exact). First window (ind==0)
-        # encodes everything.
+        # encodes everything, as does any window following a PADDED chunk
+        # (tail_valid < step: the cached tail holds repeated-last-frame
+        # features that must not stand in for later real frames).
         fmaps = jax.lax.cond(
-            ind == 0,
+            (ind == 0) | (state.tail_valid < step),
             lambda: self.compute_fmaps(video_chunk),
             lambda: jnp.concatenate(
                 [
@@ -1192,6 +1206,8 @@ class CoTrackerThree(nn.Module):
         vis_buf = jax.lax.dynamic_update_slice_in_dim(state.vis, vis_preds[-1], ind, axis=1)
         conf_buf = jax.lax.dynamic_update_slice_in_dim(state.conf, conf_preds[-1], ind, axis=1)
 
+        if chunk_valid_len is None:
+            chunk_valid_len = jnp.asarray(S, jnp.int32)
         new_state = OnlineState(
             ind=ind + step,
             track_feat=tuple(new_feat),
@@ -1201,6 +1217,9 @@ class CoTrackerThree(nn.Module):
             conf=conf_buf,
             # the next window's first `step` frames are this chunk's last
             fmaps_tail=fmaps[:, S - step :],
+            tail_valid=jnp.clip(
+                jnp.asarray(chunk_valid_len, jnp.int32) - step, 0, step
+            ),
         )
         return (
             new_state,

@@ -341,6 +341,7 @@ class CoTrackerOnlinePredictor:
             # per-frame feature maps: replicated (every track shard encodes
             # the chunk redundantly, like fnet itself on this path)
             fmaps_tail=P(),
+            tail_valid=P(),
         )
 
     def __call__(
@@ -453,6 +454,9 @@ class CoTrackerOnlinePredictor:
                 [(W0 - 1) / (iw - 1), (H0 - 1) / (ih - 1)], np.float32
             )
 
+            # v3's online_step gates the fmaps_tail overlap cache on the
+            # chunk's REAL (pre-padding) frame count; v2's step has no cache
+
             if self.mesh is not None:
                 # track-sharded streaming core: the full online_step (incl.
                 # the Pallas kernels) runs per shard on local N inside
@@ -464,14 +468,15 @@ class CoTrackerOnlinePredictor:
                 smodel = self._smodel
                 state_spec = self._state_spec()
                 core = jax.shard_map(
-                    lambda p, st, ch, q, m: smodel.apply(
+                    lambda p, st, ch, q, m, vl: smodel.apply(
                         {"params": p}, st, ch, q, iters=6, track_mask=m,
+                        chunk_valid_len=vl,
                         method=model_cls.online_step,
                     ),
                     mesh=self.mesh,
                     in_specs=(
                         P(), state_spec, P(), P(None, "track", None),
-                        P(None, "track"),
+                        P(None, "track"), P(),
                     ),
                     out_specs=(
                         state_spec,
@@ -484,11 +489,11 @@ class CoTrackerOnlinePredictor:
             else:
                 core = None
 
-            def step_fn(params, state, chunk, queries, track_mask):
+            def step_fn(params, state, chunk, queries, track_mask, valid_len):
                 chunk = chunk.transpose(0, 1, 3, 4, 2)
                 chunk = resize_bilinear(chunk, self.interp_shape, align_corners=True)
                 if core is not None:
-                    out = core(params, state, chunk, queries, track_mask)
+                    out = core(params, state, chunk, queries, track_mask, valid_len)
                 else:
                     out = self.model.apply(
                         {"params": params},
@@ -498,6 +503,7 @@ class CoTrackerOnlinePredictor:
                         iters=6,
                         track_mask=track_mask,
                         method=model_cls.online_step,
+                        **({} if self.v2 else {"chunk_valid_len": valid_len}),
                     )
                 # postprocess at FULL capacity shape inside the same jit
                 # (reference predictor.py:297-309 semantics): one compiled
@@ -530,7 +536,8 @@ class CoTrackerOnlinePredictor:
                 f"the stream length"
             )
         self._state, tracks_full, vis_full = self._jit_step(
-            self.params, self._state, chunk, self._queries, self._track_mask
+            self.params, self._state, chunk, self._queries, self._track_mask,
+            jnp.asarray(T_true, jnp.int32),
         )
         self._ind_host = ind_before + self.step
         self._frames_seen = min(ind_before + T_true, self.capacity)

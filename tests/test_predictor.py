@@ -492,3 +492,48 @@ class TestOnlineFullBuffers:
         assert t1.shape[1] == p1.capacity  # fixed shape
         np.testing.assert_allclose(t1[:, :fs], t0, rtol=1e-5, atol=1e-4)
         np.testing.assert_array_equal(v1[:, :fs], v0)
+
+
+class TestOnlineFmapsTailCache:
+    """The streaming fmaps overlap cache (round 4) must be EXACT: reusing
+    the previous window's encoded tail never changes outputs — including
+    when a caller sends a short (padded) chunk mid-stream, where the cache
+    must be bypassed (the cached tail would hold repeated-last-frame
+    features for indices whose real frames arrive later)."""
+
+    def _drive(self, chunks, disable_cache):
+        import jax.numpy as jnp
+
+        p = CoTrackerOnlinePredictor(
+            window_len=8, capacity=64, model_resolution=(48, 64)
+        )
+        rng = np.random.default_rng(77)
+        video = (rng.random((1, 24, 3, 36, 52)) * 255).astype(np.float32)
+        p(video[:, :1], is_first_step=True, grid_size=3)
+        for lo, hi in chunks:
+            tracks, vis = p(video[:, lo:hi])
+            if disable_cache:
+                # cache-off oracle: zero the validity so every step fully
+                # re-encodes, i.e. the reference behavior
+                p._state = p._state._replace(
+                    tail_valid=jnp.asarray(0, jnp.int32)
+                )
+        return np.asarray(tracks)[:, : p.frames_seen], np.asarray(vis)[
+            :, : p.frames_seen
+        ]
+
+    def test_cache_exact_on_full_chunks(self):
+        chunks = [(0, 8), (4, 12), (8, 16), (12, 20)]
+        t1, v1 = self._drive(chunks, disable_cache=False)
+        t0, v0 = self._drive(chunks, disable_cache=True)
+        np.testing.assert_allclose(t1, t0, rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(v1, v0)
+
+    def test_padded_midstream_chunk_bypasses_cache(self):
+        # third chunk is SHORT (6 < 8 frames, padded internally); the
+        # following full chunk must still match the always-re-encode oracle
+        chunks = [(0, 8), (4, 12), (8, 14), (12, 20)]
+        t1, v1 = self._drive(chunks, disable_cache=False)
+        t0, v0 = self._drive(chunks, disable_cache=True)
+        np.testing.assert_allclose(t1, t0, rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(v1, v0)
