@@ -99,7 +99,8 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
     """starts_* (PP, Tp, 3) int32 SMEM: (flat frame index, wsy, wsx) per
     frame. sup (PP, S, C) VMEM. fm_hbm (B*T, Hp, Wp, C) stays in HBM (bf16
     or int8). win scratch (2, PP, WIN, Tp*WIN, C) — or (2, PP, Tp*WIN, WIN,
-    C) t-major with fuse_combine; sems (2, PP, Tp) DMA semaphores. With
+    C) t-major with fuse_combine; sems (2, PP) DMA semaphores (shared
+    across the Tp copies of a point — see dma()). With
     g_int8, an extra (1, NP) f32 SMEM output (whole-array block, scalar
     store at [0, p*PP + i]) carries the per-point dequant scales.
 
@@ -146,9 +147,15 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
             if fuse_combine
             else win.at[slot, i, :, pl.ds(t * WIN, WIN), :]
         )
+        # ONE semaphore per (slot, point), shared by all Tp copies: each
+        # wait() decrements by its copy's byte count and the consumer waits
+        # all Tp before touching the slab, so intra-group completion order
+        # is irrelevant. Per-(slot,i,t) sems cost (2*PP*Tp)*8 B of the
+        # chip's 2 KB sflag budget — exactly exhausted at PP=8/Tp=16, which
+        # is what previously capped PP; sharing lifts the cap to PP=16+.
         return pltpu.make_async_copy(
             fm_hbm.at[ft, pl.ds(sy, WIN), pl.ds(sx, WIN), :], dest,
-            sems.at[slot, i, t],
+            sems.at[slot, i],
         )
 
     def issue(slot, st_ref):
@@ -346,10 +353,14 @@ def _corr_level_plan(
     # windows, where they dominate — T=16 measured ~109 ns/point-frame vs
     # ~53 at T=60 with PP=1. VMEM cost is 2*PP window slabs (~262 KB each
     # at T=16 int8), so deep batching is cheap exactly where it is needed.
+    # Round-4 sweep on hardware (scripts/bench_corr_pp.py, shared sems):
+    # T=16/N=70656 level-iter 135.5 ms @PP=8, 134.1 @PP=16, PP=32 fails to
+    # compile (VMEM: 2*32 window slabs + double-buffered out block). The
+    # per-point fixed-cost lever is exhausted at PP=16.
     if _FORCE_PP is not None:
         PP = _FORCE_PP
     elif Tp <= 16:
-        PP = 8
+        PP = 16
     elif Tp <= 32:
         PP = 4
     else:
@@ -449,7 +460,7 @@ def _corr_level_plan(
         )
         scratch = [
             pltpu.VMEM(win_shape, jnp.int8 if quant_int8 else cd),
-            pltpu.SemaphoreType.DMA((2, pp, Tp)),
+            pltpu.SemaphoreType.DMA((2, pp)),
         ]
         if fuse_combine:
             scratch.append(pltpu.VMEM((2, R), jnp.float32))
