@@ -76,7 +76,7 @@ def run_shape(N, T, H, W, chunk, reps=4):
 
 
 def parity(N=256, T=12, H=48, W=64):
-    """PP=8 (N%8==0) vs PP=1 (odd chunk) — identical int8 math expected."""
+    """PP=16 (N%16==0) vs PP=1 (odd chunk) — identical int8 math expected."""
     from cotracker_tpu.ops.kernels.corr_pallas import (
         build_shifted_fmaps,
         fused_corr_embs_pallas,
@@ -107,10 +107,10 @@ def parity(N=256, T=12, H=48, W=64):
             )
         )(packed, sup, coords))
 
-    a = run(64)   # NP=64 -> PP=8
+    a = run(64)   # NP=64 -> PP=16
     b = run(37)   # NP=37 -> PP=1 fallback (same per-point math)
     err = np.abs(a.astype(np.float32) - b.astype(np.float32)).max()
-    print(f"parity PP8 vs PP1: max abs diff {err:.2e}", flush=True)
+    print(f"parity PP16 vs PP1: max abs diff {err:.2e}", flush=True)
     assert err < 1e-2, err
 
 
