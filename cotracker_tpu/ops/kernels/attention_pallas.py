@@ -21,6 +21,7 @@ relayouts these with lane shifts, which is noise next to the DMA time for
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -276,12 +277,22 @@ def fused_virtual_from_points(q, kv, num_heads: int, dim_head: int,
 
 
 def _v2p_proj_kernel(q_ref, x_ref, bias_ref, g_ref, be_ref, wkv_ref, skv_ref,
-                     bkv_ref, out_ref, acc, mx, lse, *, num_heads, dim_head,
-                     n_tiles, eps, out_dtype):
+                     bkv_ref, out_ref, acc, mx, lse, *kv_s, num_heads, dim_head,
+                     n_tiles, eps, out_dtype, ln_chunk=None):
     """_v2p_kernel with the context-norm + to_kv projection fused in: the
     current N-tile of raw point tokens (blk, 1, C//128, 128) is normalized
     (affine LN, f32 stats), row-quantized, and projected W8A8 to this tile's
-    keys|values entirely in VMEM — the (N, T, 2C) kv tensor never exists."""
+    keys|values entirely in VMEM — the (N, T, 2C) kv tensor never exists.
+
+    ln_chunk: rows per LN/quant/projection sub-pass. The per-grid-step cost
+    of this kernel is dominated by the FIXED latency of the 16 tiny per-head
+    score/pv dots (M=V pads to the MXU tile; measured ~46 us/step at
+    blk=1024 against ~10 us of roofline compute), so large N wants blk well
+    above 1024 — but the LN's (blk, C) f32 temps would then blow the scoped
+    VMEM stack. Chunking the projection bounds the f32 temps at
+    (ln_chunk, C) while the head loop still sees the full (blk, 2C) tile
+    from a VMEM scratch (kv_s), cutting grid steps (and their fixed dot
+    latency) by blk/1024."""
     n = pl.program_id(1)
     C = num_heads * dim_head
     scale = dim_head**-0.5
@@ -289,17 +300,29 @@ def _v2p_proj_kernel(q_ref, x_ref, bias_ref, g_ref, be_ref, wkv_ref, skv_ref,
     q = q_ref[0]
     bias = bias_ref[...].reshape(1, blk)
 
-    x32 = x_ref[:, 0].reshape(blk, C).astype(F32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    cen = x32 - mean
-    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
-    h = cen * jax.lax.rsqrt(var + eps) * g_ref[...] + be_ref[...]
-    sr = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-20) * (
-        1.0 / 127.0
-    )
-    hq = jnp.round(h * (1.0 / sr)).astype(jnp.int8)
-    kv = jax.lax.dot(hq, wkv_ref[...], preferred_element_type=jnp.int32)
-    kv = ((kv.astype(F32) * (sr * skv_ref[...]) + bkv_ref[...])).astype(out_dtype)
+    def project(rows):
+        x32 = rows.reshape(rows.shape[0], C).astype(F32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        cen = x32 - mean
+        var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+        h = cen * jax.lax.rsqrt(var + eps) * g_ref[...] + be_ref[...]
+        sr = jnp.maximum(
+            jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-20
+        ) * (1.0 / 127.0)
+        hq = jnp.round(h * (1.0 / sr)).astype(jnp.int8)
+        kvc = jax.lax.dot(hq, wkv_ref[...], preferred_element_type=jnp.int32)
+        return (
+            kvc.astype(F32) * (sr * skv_ref[...]) + bkv_ref[...]
+        ).astype(out_dtype)
+
+    if ln_chunk is None or blk <= ln_chunk:
+        kv = project(x_ref[:, 0])
+    else:
+        for c in range(blk // ln_chunk):
+            kv_s[0][c * ln_chunk : (c + 1) * ln_chunk] = project(
+                x_ref[c * ln_chunk : (c + 1) * ln_chunk, 0]
+            )
+        kv = kv_s[0][...]
 
     @pl.when(n == 0)
     def _():
@@ -353,10 +376,34 @@ def fused_virtual_from_points_proj(q, x, wkv, bkv, gamma, beta,
     N = x.shape[0]
     assert C == num_heads * dim_head and x.shape == (N, T, C)
     assert C % 128 == 0
+    # large-N tiles: the per-grid-step fixed latency of the 16 tiny head
+    # dots dominates this kernel (see _v2p_proj_kernel), so prefer the
+    # largest multiple-of-1024 divisor of N up to 3072 — at quasi-dense
+    # N=70656 this cuts grid steps 3x. LN/quant then runs in 1024-row
+    # sub-passes to keep f32 temps bounded. COTRACKER_V2P_BLOCK forces a
+    # specific tile for A/B benching.
+    # NOTE round-4: blk=3072 at the quasi-dense shape still overflows the
+    # 16 MB scoped-VMEM stack (21.8 MB even with 512-row LN sub-passes —
+    # the x tile + kv scratch + pipeline buffers alone are ~10 MB), and the
+    # kernel measures at its standalone floor in-context (18.7 ms/round ==
+    # the trace's 16.5), so the big-tile path stays OPT-IN via
+    # COTRACKER_V2P_BLOCK until a tighter scratch scheme exists.
+    env_blk = os.environ.get("COTRACKER_V2P_BLOCK")
+    if env_blk:
+        block_n = int(env_blk)
+        assert N % block_n == 0, (N, block_n)
     if N % block_n:
         block_n = pick_block_n(N, cap=1024)
         if block_n is None:
             return None
+    # LN sub-pass rows must divide the tile exactly (the kernel's static
+    # chunk loop covers blk // ln_chunk chunks)
+    # 512-row sub-passes: at blk=3072 the 1024-row variant's f32/s32
+    # projection temps put the scoped stack at 22.2 MB (> the 16 MB limit,
+    # measured); 512 rows bound them at ~3 MB beside the 4.7 MB kv scratch
+    ln_chunk = None
+    if block_n > 1024:
+        ln_chunk = next(c for c in (512, 256, 128) if block_n % c == 0)
     L = C // 128
     if key_bias is None:
         key_bias = jnp.zeros((N,), F32)
@@ -365,7 +412,7 @@ def fused_virtual_from_points_proj(q, x, wkv, bkv, gamma, beta,
     n_tiles = N // block_n
     kernel = functools.partial(
         _v2p_proj_kernel, num_heads=num_heads, dim_head=dim_head,
-        n_tiles=n_tiles, eps=eps, out_dtype=q.dtype,
+        n_tiles=n_tiles, eps=eps, out_dtype=q.dtype, ln_chunk=ln_chunk,
     )
     row = lambda v, n: v.astype(F32).reshape(1, n)
     return pl.pallas_call(
@@ -387,7 +434,12 @@ def fused_virtual_from_points_proj(q, x, wkv, bkv, gamma, beta,
             pltpu.VMEM((num_heads, V, dim_head), F32),
             pltpu.VMEM((num_heads, V, 128), F32),
             pltpu.VMEM((num_heads, V, 128), F32),
-        ],
+        ]
+        + (
+            [pltpu.VMEM((block_n, 2 * C), q.dtype)]
+            if ln_chunk is not None
+            else []
+        ),
         interpret=interpret,
     )(q, x.reshape(N, T, L, 128), key_bias, row(gamma, C), row(beta, C),
       wkvq, skv, row(bkv, 2 * C))

@@ -31,6 +31,7 @@ tanh-approximate GELU.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,10 @@ _FORCE_PAD_REPACK = False
 # tests and the A/B bench can assert the two arms actually compiled
 # different kernels
 _LAST_REPACK_PAD = None
+
+# debug/test seam: True when the most recent fused_space_block_int8 trace
+# took the all-frames tiling (see _space_block_allt_kernel)
+_LAST_SPACE_ALLT = None
 
 
 def _reshape_repack_ok(T: int, dtype) -> bool:
@@ -434,6 +439,76 @@ def _space_block_kernel(x_ref, kv_ref, wq_ref, sq_ref, bq_ref, wo_ref, so_ref,
     o_ref[:, 0] = y.astype(o_ref.dtype).reshape(blk, C // 128, 128)
 
 
+def _space_block_allt_kernel(x_ref, kv_ref, wq_ref, sq_ref, bq_ref, wo_ref,
+                             so_ref, bo_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+                             s2_ref, b2_ref, o_ref, q_s, a_s, *, num_heads,
+                             dim_head, T, BLK, eps, mlp_chunks):
+    """Track-tile x ALL-frames step of the points<-virtual block.
+
+    The per-(frame, tile) kernel below runs its token-wise W8A8 matmuls at
+    M = blk (512) rows and pays per-grid-step fixed costs 16x per frame at
+    the T=16 streaming shapes — the round-4 steady-window trace prices it
+    at 22 Mtok/s against the time block's 27.6 with MORE work per token.
+    This variant tiles (BLK tracks, ALL T frames): token-wise ops (LN,
+    quant, to_q, to_out, MLP) run flat at M = BLK*T rows exactly like the
+    time block (the (BLK, T, ·) <-> (BLK*T, ·) casts are free sublane
+    splits when T is a whole number of sublane tiles — the same
+    _reshape_repack_ok condition as the time kernel's repack), and only the
+    tiny per-frame attention over the V=64 virtual tokens loops over T via
+    static slices of the q/attention scratches.
+    """
+    C = num_heads * dim_head
+    scale = dim_head**-0.5
+    tokens = BLK * T
+    x32 = x_ref[...].reshape(tokens, C).astype(F32)
+
+    h = _ln(x32, eps)
+    hq, sr = _quant_rows(h)
+    q = jax.lax.dot(hq, wq_ref[...], preferred_element_type=jnp.int32)
+    q = q.astype(F32) * (sr * sq_ref[...]) + bq_ref[...]
+    q_s[...] = q.astype(q_s.dtype).reshape(BLK, T, C)
+
+    kvv = kv_ref[...]  # (T, V, 2C)
+    for t in range(T):
+        qt = q_s[:, t]  # (BLK, C)
+        kv_t = kvv[t]
+        outs = []
+        for hd in range(num_heads):
+            lo = hd * dim_head
+            sim = jax.lax.dot_general(
+                qt[:, lo : lo + dim_head], kv_t[:, lo : lo + dim_head],
+                (((1,), (1,)), ((), ())), preferred_element_type=F32,
+            ) * scale  # (BLK, V)
+            p = jax.nn.softmax(sim, axis=-1).astype(kv_t.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    p, kv_t[:, C + lo : C + lo + dim_head],
+                    (((1,), (0,)), ((), ())), preferred_element_type=F32,
+                )
+            )
+        a_s[:, t] = jnp.concatenate(outs, axis=-1).astype(a_s.dtype)
+
+    a = a_s[...].reshape(tokens, C)
+    aq, sra = _quant_rows(a.astype(F32))
+    r = jax.lax.dot(aq, wo_ref[...], preferred_element_type=jnp.int32)
+    r = x32 + r.astype(F32) * (sra * so_ref[...]) + bo_ref[...]
+    # MLP in row chunks: the (chunk, H) s32/f32 transients are the VMEM
+    # hot spot (same scheme as the time kernel)
+    ck = tokens // mlp_chunks
+    ys = []
+    for c_ in range(mlp_chunks):
+        rc = r[c_ * ck : (c_ + 1) * ck]
+        h = _ln(rc, eps)
+        hq, sr0 = _quant_rows(h)
+        u = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
+        u = _gelu_tanh(u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...])
+        uq, sr1 = _quant_rows(u)
+        y = jax.lax.dot(uq, w2_ref[...], preferred_element_type=jnp.int32)
+        ys.append(rc + y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...])
+    out = jnp.concatenate(ys, axis=0).astype(o_ref.dtype)
+    o_ref[...] = out.reshape(BLK, T, C // 128, 128)
+
+
 def fused_space_block_int8(x, kv, wq, bq, wo, bo, w1, b1, w2, b2,
                            num_heads: int, dim_head: int, eps: float = 1e-6,
                            block_n: int = 512, interpret: bool = False):
@@ -450,22 +525,90 @@ def fused_space_block_int8(x, kv, wq, bq, wo, bo, w1, b1, w2, b2,
     V = kv.shape[1]
     if C != num_heads * dim_head or C % 128 or kv.shape != (T, V, 2 * C):
         return None
-    if N % block_n:
-        from cotracker_tpu.ops.kernels.attention_pallas import pick_block_n
-
-        block_n = pick_block_n(N)
-        if block_n is None:
-            return None
     L = C // 128
     wqq, sq = quantize_weight(wq)
     woq, so = quantize_weight(wo)
     w1q, s1 = quantize_weight(w1)
     w2q, s2 = quantize_weight(w2)
     H = w1.shape[1]
+    row = lambda v, n: v.astype(F32).reshape(1, n)
+
+    # all-frames tiling (see _space_block_allt_kernel): legal whenever the
+    # (blk, T, ·) <-> (blk*T, ·) casts are free sublane splits and a track
+    # tile divides N. PRICED OUT on this chip (round 4,
+    # scripts/bench_spaceblock.py at N=70656/T=16: 54.6 vs 49.3 ms/round =
+    # 0.90x — the per-frame kernel already runs at its standalone envelope
+    # in-context, so batching the token-wise matmuls to M=blk*T buys
+    # nothing and the T unrolled attention sections' scratch round-trips
+    # cost ~10%). Kept behind COTRACKER_SPACE_ALLT=1 for chips where
+    # small-M matmul ramp actually dominates.
+    global _LAST_SPACE_ALLT
+    _LAST_SPACE_ALLT = False
+    allt_blk = (
+        _pick_time_tile(N, T, max_tokens=1024)
+        if _reshape_repack_ok(T, x.dtype)
+        and os.environ.get("COTRACKER_SPACE_ALLT", "0") == "1"
+        else None
+    )
+    if allt_blk is not None:
+        tokens = allt_blk * T
+        mlp_chunks = next(
+            (c for c in range(1, 9) if tokens % c == 0 and tokens // c <= 640),
+            None,
+        )
+        if mlp_chunks is not None:
+            _LAST_SPACE_ALLT = True
+            kernel = functools.partial(
+                _space_block_allt_kernel, num_heads=num_heads,
+                dim_head=dim_head, T=T, BLK=allt_blk, eps=eps,
+                mlp_chunks=mlp_chunks,
+            )
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((N, T, L, 128), x.dtype),
+                grid=(N // allt_blk,),
+                in_specs=[
+                    pl.BlockSpec((allt_blk, T, L, 128), lambda i: (i, 0, 0, 0)),
+                    pl.BlockSpec((T, V, 2 * C), lambda i: (0, 0, 0)),
+                    pl.BlockSpec((C, C), lambda i: (0, 0)),
+                    pl.BlockSpec((1, C), lambda i: (0, 0)),
+                    pl.BlockSpec((1, C), lambda i: (0, 0)),
+                    pl.BlockSpec((C, C), lambda i: (0, 0)),
+                    pl.BlockSpec((1, C), lambda i: (0, 0)),
+                    pl.BlockSpec((1, C), lambda i: (0, 0)),
+                    pl.BlockSpec((C, H), lambda i: (0, 0)),
+                    pl.BlockSpec((1, H), lambda i: (0, 0)),
+                    pl.BlockSpec((1, H), lambda i: (0, 0)),
+                    pl.BlockSpec((H, C), lambda i: (0, 0)),
+                    pl.BlockSpec((1, C), lambda i: (0, 0)),
+                    pl.BlockSpec((1, C), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (allt_blk, T, L, 128), lambda i: (i, 0, 0, 0)
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((allt_blk, T, C), kv.dtype),
+                    pltpu.VMEM((allt_blk, T, C), F32),
+                ],
+                interpret=interpret,
+            )(
+                x.reshape(N, T, L, 128), kv,
+                wqq, sq, row(bq, C),
+                woq, so, row(bo, C),
+                w1q, s1, row(b1, H),
+                w2q, s2, row(b2, C),
+            )
+            return out.reshape(N, T, C)
+
+    if N % block_n:
+        from cotracker_tpu.ops.kernels.attention_pallas import pick_block_n
+
+        block_n = pick_block_n(N)
+        if block_n is None:
+            return None
     kernel = functools.partial(
         _space_block_kernel, num_heads=num_heads, dim_head=dim_head, eps=eps
     )
-    row = lambda v, n: v.astype(F32).reshape(1, n)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, T, L, 128), x.dtype),

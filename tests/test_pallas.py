@@ -177,6 +177,38 @@ class TestPallasSpaceAttention:
         ref = self._xla_v2p(q, kv, H, D, key_bias=bias)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
+    def test_virtual_from_points_proj_big_tile(self, monkeypatch):
+        """The p2v flash+projection kernel's big-N-tile path (opt-in via
+        COTRACKER_V2P_BLOCK; LN/quant in 512-row sub-passes through a VMEM
+        kv scratch) matches the default tile exactly. Priced out on this
+        chip (blk=3072 exceeds scoped VMEM — scripts/bench_p2v.py), kept
+        for chips with bigger VMEM."""
+        from cotracker_tpu.ops.kernels.attention_pallas import (
+            fused_virtual_from_points_proj,
+        )
+
+        rng = np.random.default_rng(7)
+        T, V, H, D, N = 2, 16, 8, 48, 4096
+        C = H * D
+        q = jnp.asarray(rng.standard_normal((T, V, C)).astype(np.float32) * 0.3)
+        x = jnp.asarray(rng.standard_normal((N, T, C)).astype(np.float32))
+        wkv = jnp.asarray(rng.standard_normal((C, 2 * C)).astype(np.float32) * 0.05)
+        bkv = jnp.asarray(rng.standard_normal(2 * C).astype(np.float32) * 0.1)
+        g = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.2 + 1.0)
+        be = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+
+        outs = {}
+        for blk in (1024, 2048):
+            monkeypatch.setenv("COTRACKER_V2P_BLOCK", str(blk))
+            outs[blk] = np.asarray(
+                fused_virtual_from_points_proj(
+                    q, x, wkv, bkv, g, be, H, D, interpret=True
+                ),
+                np.float32,
+            )
+        # per-row quantization is tile-independent -> exact agreement
+        np.testing.assert_allclose(outs[2048], outs[1024], rtol=1e-6, atol=1e-6)
+
     def test_points_from_virtual(self):
         from cotracker_tpu.ops.kernels.attention_pallas import (
             fused_points_from_virtual,
@@ -523,6 +555,49 @@ class TestWholeBlockKernels:
             block_n=512, interpret=True,
         )
         self._check(out, ref)
+
+    def test_space_block_allt(self, monkeypatch):
+        """All-frames space-block tiling (COTRACKER_SPACE_ALLT=1; priced
+        out at 0.90x on this chip — see fused_space_block_int8) == the XLA
+        math, and the default stays on the per-frame kernel."""
+        import cotracker_tpu.ops.kernels.mlp_int8_pallas as mp
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_space_block_int8
+
+        rng = np.random.default_rng(4)
+        Hh, D, HID = 8, 48, 1536
+        C = Hh * D
+        N, T, V = 256, 16, 64
+        p = self._mk_params(rng, C, HID)
+        x = jnp.asarray(rng.standard_normal((N, T, C)).astype(np.float32))
+        kv = jnp.asarray(rng.standard_normal((T, V, 2 * C)).astype(np.float32))
+
+        q = (self._ln(x) @ p["wq"] + p["bq"]).reshape(N, T, Hh, D)
+        k, v = jnp.split(kv, 2, -1)
+        kh = k.reshape(T, V, Hh, D)
+        vh = v.reshape(T, V, Hh, D)
+        sim = jnp.einsum("nthd,tvhd->nthv", q, kh,
+                         preferred_element_type=jnp.float32) * D**-0.5
+        a = jnp.einsum("nthv,tvhd->nthd", jax.nn.softmax(sim, -1), vh).reshape(N, T, C)
+        r = x + a @ p["wo"] + p["bo"]
+        ref = r + jax.nn.gelu(self._ln(r) @ p["w1"] + p["b1"], approximate=True) @ p["w2"] + p["b2"]
+
+        monkeypatch.setenv("COTRACKER_SPACE_ALLT", "1")
+        out = fused_space_block_int8(
+            x, kv, p["wq"], p["bq"], p["wo"], p["bo"],
+            p["w1"], p["b1"], p["w2"], p["b2"], Hh, D, interpret=True,
+        )
+        assert mp._LAST_SPACE_ALLT is True, "T=16 + env should take all-T"
+        self._check(out, ref)
+
+        # default: the per-frame kernel (the faster one on this chip), and
+        # the two paths agree to quantization-tie noise
+        monkeypatch.delenv("COTRACKER_SPACE_ALLT")
+        out_pf = fused_space_block_int8(
+            x, kv, p["wq"], p["bq"], p["wo"], p["bo"],
+            p["w1"], p["b1"], p["w2"], p["b2"], Hh, D, interpret=True,
+        )
+        assert mp._LAST_SPACE_ALLT is False
+        self._check(out_pf, ref)
 
     def test_quant_block_path_in_module(self, monkeypatch):
         """AttnBlock/CrossAttnBlock quant_int8 paths == their XLA paths
