@@ -50,6 +50,15 @@ F32 = jnp.float32
 _FORCE_PP = None
 
 
+def _mlp1_env(flag: bool) -> bool:
+    """A/B override for the in-kernel MLP1 path: COTRACKER_CORR_FUSE_MLP1=1
+    forces it on, =0 forces it off, unset leaves the caller's flag."""
+    v = os.environ.get("COTRACKER_CORR_FUSE_MLP1")
+    if v is None or v == "":
+        return flag
+    return v not in ("0", "false", "False")
+
+
 def _shift_count(quant_int8: bool) -> int:
     """X-shift copies needed for aligned window DMAs. 8 for both bf16 and
     int8: Mosaic's HBM memref tiling keeps an 8-row sublane tile for 8-bit
@@ -95,7 +104,7 @@ def build_shifted_fmaps(fmaps, radius: int, compute_dtype=jnp.bfloat16, quant_in
 
 def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
             Tp, WIN, C, S, out_dtype, shifts, compute_dtype, g_int8,
-            fuse_combine, PP=1):
+            fuse_combine, PP=1, fuse_mlp1=False, SP=56):
     """starts_* (PP, Tp, 3) int32 SMEM: (flat frame index, wsy, wsx) per
     frame. sup (PP, S, C) VMEM. fm_hbm (B*T, Hp, Wp, C) stays in HBM (bf16
     or int8). win scratch (2, PP, WIN, Tp*WIN, C) — or (2, PP, Tp*WIN, WIN,
@@ -117,8 +126,42 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
     x+1 / y+1 / both taps are lane rolls by 1 / 8 / 9 (sub-vreg shifts).
     The scalar fractions are broadcast into a (2, R) VMEM scratch (wv) with
     64-lane stores — no O(N*R) weight traffic. Positions x==7 or y==7 hold
-    roll wrap garbage; the epilogue slices them away (it keeps j,i < 7)."""
-    if fuse_combine:
+    roll wrap garbage; the epilogue slices them away (it keeps j,i < 7).
+
+    fuse_mlp1 (round 5; implies the fuse_combine window layout + g_int8):
+    run the WHOLE correlation epilogue — bilinear combine, per-(point,
+    frame) quantization, and the first correlation-MLP layer — inside the
+    kernel, so the (NP, 49, R) volume never touches HBM and the 49-lane
+    s8 g-relayout copy + conv-lowered MLP1 fusion pair it fed (~23% of the
+    quasi-dense device step, rounds 1-4) disappear. The round-1 "Mosaic
+    sublane<->lane merge wall" pricing is void here: the design needs NO
+    49-lane merge at all (hardware-probed, round 5):
+      * the contraction is reoriented to (R rows, 128 lanes): the window
+        slab (R, C) dots a 128-row zero-padded support scratch, so output
+        lanes 56..127 are exactly 0 and the volume lands row-major (t,y,x);
+      * the combine runs per 64-row frame block with static sublane slices
+        (+1 / +8 / +9 taps; x==7 / y==7 rows hold junk killed by zero rows
+        of the padded MLP weight, exactly like the fuse_combine path);
+      * combined f32 blocks stage in a (PP*Tp, 64, 128) scratch whose
+        (M, 8192) view is a free (., a, 128)->(., a*128) lane merge; rows
+        quantize per (point, frame) — FINER than the per-point scale of the
+        fuse_combine path — and ONE (M, 8192) x (8192, Dh) s8 MXU dot
+        applies MLP1 (K-fill 49/128 == the byte inflation the (R, S) XLA
+        variant was rejected for in round 3, but here it rides idle MXU
+        under the window-DMA-bound pipeline instead of HBM);
+      * dequant (row scale x per-point support scale x per-channel weight
+        scale) + fc1 bias fold into the output store; GELU + fc2 stay in
+        the XLA epilogue (exact erf; fc2 may be level-folded).
+    Extra operands after wxy: supscale (PP, 1) f32 SMEM, w1q
+    (WIN*WIN*128, Dh) int8 (zero at s>=S, x==P, y==P; lane order
+    w*128 + s with w = y*WIN + x), wconst (2, Dh) f32 [w1scale; b1].
+    Output: (PP, Tp, Dh) compute-dtype hidden activations (pre-GELU)."""
+    if fuse_mlp1:
+        fm_hbm, wxy_ref, supsc_ref, w1q_ref, wc_ref = rest[:5]
+        out_ref, win, sems, sup128, wcol, gt, gxs, c_all = rest[5:]
+        R = WIN * Tp * WIN
+        Dh = w1q_ref.shape[-1]
+    elif fuse_combine:
         fm_hbm, wxy_ref = rest[:2]
         rest = rest[2:]
         if g_int8:
@@ -144,7 +187,7 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
         sx = pl.multiple_of(st_ref[i, t, 2], shifts)
         dest = (
             win.at[slot, i, pl.ds(t * WIN, WIN), :, :]
-            if fuse_combine
+            if (fuse_combine or fuse_mlp1)
             else win.at[slot, i, :, pl.ds(t * WIN, WIN), :]
         )
         # ONE semaphore per (slot, point), shared by all Tp copies: each
@@ -168,6 +211,19 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
     @pl.when(p == 0)
     def _():
         issue(0, starts_cur_ref)
+        if fuse_mlp1:
+            # persistent-scratch invariants: support rows SP..127 stay zero
+            # (dot output lanes past the real taps are exactly 0); the
+            # gt/gxs tail rows R.. stay zero (shifted combine reads of the
+            # last frame land there — zero-weighted downstream, but they
+            # must be finite)
+            sup128[...] = jnp.zeros(sup128.shape, sup128.dtype)
+            gt[pl.ds(R, gt.shape[0] - R), :] = jnp.zeros(
+                (gt.shape[0] - R, gt.shape[1]), gt.dtype
+            )
+            gxs[pl.ds(R, gxs.shape[0] - R), :] = jnp.zeros(
+                (gxs.shape[0] - R, gxs.shape[1]), gxs.dtype
+            )
 
     # prefetch the NEXT block's windows into the other buffer. Its previous
     # contents were consumed by the matmuls of step p-1, which precede these
@@ -177,6 +233,96 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
         issue((p + 1) % 2, starts_nxt_ref)
 
     slot = p % 2
+    if fuse_mlp1:
+        scales = []
+        for i in range(PP):
+            for t in range(Tp):
+                dma(slot, i, t, starts_cur_ref).wait()
+            win2 = win[slot, i].reshape(R, C)
+            sup128[0:SP, :] = sup_ref[i]
+            # row-oriented contraction: M = window rows (t, y, x), lanes =
+            # support taps (zero-padded to 128). One lane-pass either way on
+            # the MXU; this orientation is what lets the combine + MLP1 stay
+            # in-kernel with no sublane->lane merge.
+            gt[0:R, :] = jax.lax.dot_general(
+                win2, sup128[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (R, 128) s32
+            # This kernel is VPU-PASS-bound, not MXU-bound (the f32
+            # roll-based combine measured ~119 of 169 ms/level-iter), so the
+            # combine is built to MINIMIZE full-slab passes:
+            #  * quantization scale from the RAW volume, before combining —
+            #    the bilinear combine is convex, so amax(g) >= amax(c):
+            #    a safe (never-clipping) bound, at most ~1 bit coarser, and
+            #    it lets the final lerp write int8 DIRECTLY (no second amax
+            #    pass, no f32/bf16 c materialization);
+            #  * the x+1 / y+1 taps are tail-padded SHIFTED READS of the
+            #    s32/f32 scratches (rows r = t*64 + y*8 + x, so taps are
+            #    row+1 / row+8), which fuse into the lerps — sublane
+            #    pltpu.roll is 32-bit-only AND materializes its output;
+            #  * the lerps are SEPARABLE (wx constant within a frame):
+            #    two passes, not a 4-term combine.
+            # Tail rows R..R+15 of both scratches are zeroed once (p == 0):
+            # the shifted reads of the last frame land there, feeding only
+            # the x==7 / y==7 rows whose MLP1 weights are zero — but they
+            # must be FINITE.
+            if os.environ.get("COTRACKER_MLP1_ABLATE") == "amax":
+                # cost-attribution knob: constant scale — WRONG RESULTS
+                s = 128.0
+            else:
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(gt[0:R, :]).astype(F32)), 1e-20
+                ) * (1.0 / 127.0)
+            # per-frame fractions as (R, 1) columns (scalar-broadcast
+            # stores; Tp tiny writes beat 4*Tp sliced block combines)
+            for t in range(Tp):
+                wcol[pl.ds(t * 64, 64), 0:1] = jnp.full(
+                    (64, 1), wxy_ref[i, t, 0], F32
+                )
+                wcol[pl.ds(t * 64, 64), 1:2] = jnp.full(
+                    (64, 1), wxy_ref[i, t, 1], F32
+                )
+            wx = wcol[:, 0:1]
+            wy = wcol[:, 1:2]
+            if os.environ.get("COTRACKER_MLP1_ABLATE") == "combine":
+                # cost-attribution knob: skip the two lerps — WRONG RESULTS
+                c_all[i] = jnp.round(
+                    gt[0:R, :].astype(F32) * (1.0 / s)
+                ).astype(jnp.int8)
+            else:
+                a = gt[0:R, :].astype(F32)
+                b = gt[1 : R + 1, :].astype(F32)
+                gxs[0:R, :] = a + wx * (b - a)
+                gx0 = gxs[0:R, :]
+                gx8 = gxs[8 : R + 8, :]
+                c_all[i] = jnp.round(
+                    (gx0 + wy * (gx8 - gx0)) * (1.0 / s)
+                ).astype(jnp.int8)
+            scales.append(s * supsc_ref[i, 0])
+        # ONE MLP1 matmul for all PP*Tp (point, frame) rows: the staged
+        # (PP, Tp*64, 128) int8 volume's (PP*Tp, 8192) view is a free
+        # (., a, 128)->(., a*128) lane merge (round-5 hardware probe — the
+        # round-1 "sublane<->lane merge wall" never applied to this pattern)
+        M = PP * Tp
+        cq = c_all[...].reshape(M, WIN * WIN * 128)
+        if os.environ.get("COTRACKER_MLP1_ABLATE") == "dot":
+            # cost-attribution knob (scripts/bench_corr_variants.py --ablate):
+            # stand in a K=128 dot for the K=8192 one — WRONG RESULTS
+            h32 = jax.lax.dot_general(
+                cq[:, :128], w1q_ref[0:128, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            h32 = jax.lax.dot_general(
+                cq, w1q_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (M, Dh)
+        hf = h32.astype(F32) * wc_ref[0:1, :]
+        for i in range(PP):
+            out_ref[i] = (
+                hf[i * Tp : (i + 1) * Tp] * scales[i] + wc_ref[1:2, :]
+            ).astype(out_dtype)
+        return
     for i in range(PP):
         # wait for point i's windows. The copies were issued from the same
         # starts values (step p-1's starts_nxt == step p's starts_cur), so
@@ -261,6 +407,7 @@ def _corr_level_plan(
     track_major: bool = False,
     quant_int8: bool = False,
     fuse_combine: bool = False,
+    fuse_mlp1: bool = False,
 ):
     """Prepare one pyramid level's per-point operands and its chunk body.
 
@@ -348,6 +495,26 @@ def _corr_level_plan(
     R = WIN * Tp * WIN
     fmh = fmaps_p  # (8*B*T, Hp, Wp, C)
 
+    SP = 56  # fuse_mlp1 support rows: S=49 padded to whole sublane tiles so
+    #          the in-kernel sup128[0:SP] copy is tile-aligned (zero rows
+    #          contribute exactly 0 to the s8 contraction)
+    if fuse_mlp1:
+        assert quant_int8, "fuse_mlp1 rides the int8 window/support path"
+        fuse_combine = False  # superseded: combine happens in-kernel, row-wise
+        Dh = w1.shape[-1]
+        # MLP1 weight in the kernel's merged-lane order K = w*128 + s with
+        # w = y*WIN + x: zero rows at s >= S and at the x==P / y==P combine
+        # junk, quantized per output channel (same construction as the
+        # fuse_combine epilogue's w1q — integer results are identical)
+        w1f = jnp.zeros((WIN, WIN, 128, Dh), F32)
+        w1f = w1f.at[:P, :P, :S].set(
+            w1.astype(F32).reshape(P, P, S, Dh).transpose(1, 0, 2, 3)
+        )
+        w1amax_m = jnp.maximum(jnp.max(jnp.abs(w1f), axis=(0, 1, 2)), 1e-20)
+        w1q_m = jnp.round(w1f * (127.0 / w1amax_m)).astype(jnp.int8)
+        w1q_m = w1q_m.reshape(WIN * WIN * 128, Dh)
+        wconst_m = jnp.stack([w1amax_m * (1.0 / 127.0), b1.astype(F32)])  # (2, Dh)
+
     # points per grid step: amortize the per-point fixed costs (DMA
     # issue/wait chain, descriptor reads, dot setup, output store) at short
     # windows, where they dominate — T=16 measured ~109 ns/point-frame vs
@@ -359,6 +526,14 @@ def _corr_level_plan(
     # per-point fixed-cost lever is exhausted at PP=16.
     if _FORCE_PP is not None:
         PP = _FORCE_PP
+    elif fuse_mlp1:
+        # fill the in-kernel MLP1 dot's M = PP*Tp rows to ~two 128-row MXU
+        # passes and deepen the DMA pipeline; powers of two keep the chunked
+        # NP divisible. VMEM (PP=16, T=16): 4.2 MB windows + 2 MB int8
+        # volume + 3 MB MLP1 weight + transients — fits the 16 MB stack.
+        PP = 1
+        while PP * 2 * Tp <= 256 and PP < 16:
+            PP *= 2
     elif Tp <= 16:
         PP = 16
     elif Tp <= 32:
@@ -368,7 +543,7 @@ def _corr_level_plan(
     kernel = functools.partial(
         _kernel, Tp=Tp, WIN=WIN, C=C, S=S, out_dtype=cd,
         shifts=shifts, compute_dtype=cd, g_int8=quant_int8,
-        fuse_combine=fuse_combine,
+        fuse_combine=fuse_combine, fuse_mlp1=fuse_mlp1, SP=SP,
     )
     lhs = "bntk" if track_major else "btnk"
 
@@ -411,7 +586,14 @@ def _corr_level_plan(
         pp = PP if NP % PP == 0 else 1
         NB = NP // pp
         kern = functools.partial(kernel, PP=pp)
-        if quant_int8:
+        if fuse_mlp1:
+            sup_c = jnp.pad(sup_c, ((0, 0), (0, 0), (0, SP - S), (0, 0)))
+            Dh = w1q_m.shape[-1]
+            out_shape = jax.ShapeDtypeStruct((NP, Tp, Dh), cd)
+            out_specs = pl.BlockSpec(
+                (pp, Tp, Dh), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+            )
+        elif quant_int8:
             out_shape = [
                 jax.ShapeDtypeStruct((NP, S, R), jnp.int8),
                 jax.ShapeDtypeStruct((1, NP), jnp.float32),
@@ -425,6 +607,7 @@ def _corr_level_plan(
             out_specs = pl.BlockSpec(
                 (pp, S, R), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
             )
+        Srows = SP if fuse_mlp1 else S
         in_specs = [
             pl.BlockSpec((pp, Tp, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -432,16 +615,16 @@ def _corr_level_plan(
                 lambda p: (jnp.minimum(p + 1, NB - 1), 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((pp, S, C), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pp, Srows, C), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # fmaps stay in HBM
         ]
         operands = [
             starts_c.reshape(NP, Tp, 3),
             starts_c.reshape(NP, Tp, 3),
-            sup_c.reshape(NP, S, C),
+            sup_c.reshape(NP, Srows, C),
             fmh,
         ]
-        if fuse_combine:
+        if fuse_combine or fuse_mlp1:
             # per-frame bilinear fractions, tiny SMEM payload; the kernel
             # lane-broadcasts them into a VMEM scratch
             wxy = jnp.stack(
@@ -455,8 +638,28 @@ def _corr_level_plan(
             in_specs.append(
                 pl.BlockSpec((pp, Tp, 2), lambda p: (p, 0, 0), memory_space=pltpu.SMEM)
             )
+        if fuse_mlp1:
+            operands += [
+                sup_scale_c.reshape(NP, 1).astype(jnp.float32),
+                w1q_m,
+                wconst_m,
+            ]
+            in_specs += [
+                pl.BlockSpec((pp, 1), lambda p: (p, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (WIN * WIN * 128, w1q_m.shape[-1]),
+                    lambda p: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (2, wconst_m.shape[-1]), lambda p: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
         win_shape = (
-            (2, pp, Tp * WIN, WIN, C) if fuse_combine else (2, pp, WIN, Tp * WIN, C)
+            (2, pp, Tp * WIN, WIN, C)
+            if (fuse_combine or fuse_mlp1)
+            else (2, pp, WIN, Tp * WIN, C)
         )
         scratch = [
             pltpu.VMEM(win_shape, jnp.int8 if quant_int8 else cd),
@@ -464,6 +667,14 @@ def _corr_level_plan(
         ]
         if fuse_combine:
             scratch.append(pltpu.VMEM((2, R), jnp.float32))
+        if fuse_mlp1:
+            scratch += [
+                pltpu.VMEM((128, C), jnp.int8),          # zero-padded support
+                pltpu.VMEM((R, 2), F32),                 # per-row combine fracs
+                pltpu.VMEM((R + 16, 128), jnp.int32),    # raw volume + tail
+                pltpu.VMEM((R + 16, 128), F32),          # x-lerped + tail
+                pltpu.VMEM((pp, R, 128), jnp.int8),      # combined int8 volume
+            ]
         g = pl.pallas_call(
             kern,
             out_shape=out_shape,
@@ -473,6 +684,13 @@ def _corr_level_plan(
             scratch_shapes=scratch,
             interpret=interpret,
         )(*operands)
+        if fuse_mlp1:
+            # kernel emitted MLP1(combined volume) + bias, dequantized, per
+            # (point, frame) row; only GELU (exact erf) stays in XLA
+            h = g.reshape(B, n, Tp, Dh)[:, :, :T]
+            if not track_major:
+                h = h.transpose(0, 2, 1, 3)
+            return jax.nn.gelu(h, approximate=False)
         gscale = None
         if quant_int8:
             g, gscale = g
@@ -624,6 +842,7 @@ def fused_corr_embs_pallas(
     track_major: bool = False,
     quant_int8: bool = False,
     fuse_combine: bool = False,
+    fuse_mlp1: bool = False,
 ):
     """Same contract as ops.corr.fused_corr_embs, hot path as a Pallas kernel.
 
@@ -647,7 +866,7 @@ def fused_corr_embs_pallas(
         fmaps, support, coords, w1, b1, radius=radius,
         compute_dtype=compute_dtype, interpret=interpret, prepacked=prepacked,
         track_major=track_major, quant_int8=quant_int8,
-        fuse_combine=fuse_combine,
+        fuse_combine=fuse_combine, fuse_mlp1=_mlp1_env(fuse_mlp1),
     )
 
     def run(ops_chunk):
@@ -674,6 +893,7 @@ def fused_corr_tokens_pallas(
     interpret: bool = False,
     quant_int8: bool = False,
     fuse_combine: bool = False,
+    fuse_mlp1: bool = False,
     extra_ops=(),
     extra_fn=None,
 ):
@@ -699,12 +919,14 @@ def fused_corr_tokens_pallas(
     """
     B, _, N = coords.shape[:3]
     cd = compute_dtype
+    fuse_mlp1 = _mlp1_env(fuse_mlp1)
     plans = []
     for i, (packed, support) in enumerate(zip(packed_list, support_list)):
         ops_i, hidden_i = _corr_level_plan(
             packed, support, coords / (2.0**i), w1, b1, radius=radius,
             compute_dtype=compute_dtype, interpret=interpret, prepacked=True,
             track_major=True, quant_int8=quant_int8, fuse_combine=fuse_combine,
+            fuse_mlp1=fuse_mlp1,
         )
         plans.append((ops_i, hidden_i))
 

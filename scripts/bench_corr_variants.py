@@ -32,7 +32,12 @@ def main():
         fused_corr_embs_pallas,
     )
 
-    N, T, H, W, C = 10_240, 60, 96, 128, 128  # level-0 fmap at 384x512/4
+    # level-0 fmap at 384x512/4; --t16 benches the online/quasi-dense window
+    # (T=16, quasi-dense N) where the round-5 fuse_mlp1 variant targets
+    if "--t16" in sys.argv:
+        N, T, H, W, C = 70_656, 16, 96, 128, 128
+    else:
+        N, T, H, W, C = 10_240, 60, 96, 128, 128
     CH = 2048
     rng = np.random.default_rng(0)
     fm = jnp.asarray(rng.standard_normal((1, T, H, W, C)).astype(np.float32))
@@ -51,20 +56,24 @@ def main():
         lambda f: build_shifted_fmaps(f, 3, jnp.bfloat16, quant_int8=True)
     )(fm)
 
-    def make(fuse):
+    def make(fuse, mlp1=False):
         def f(p, s, c):
             out = fused_corr_embs_pallas(
                 p, s, c, w1, b1, w2, b2, radius=3, chunk=CH,
                 compute_dtype=jnp.bfloat16, prepacked=True, track_major=True,
-                quant_int8=True, fuse_combine=fuse,
+                quant_int8=True, fuse_combine=fuse, fuse_mlp1=mlp1,
             )
             return jnp.sum(out.astype(jnp.float32) ** 2).reshape(1)
 
         return jax.jit(f)
 
     ref = None
-    for name, fuse in [("int8", False), ("fuse_int8", True)]:
-        f = make(fuse)
+    for name, fuse, mlp1 in [
+        ("int8", False, False),
+        ("fuse_int8", True, False),
+        ("fuse_mlp1", False, True),
+    ]:
+        f = make(fuse, mlp1)
         v = sync(f(packed, sup, coords))  # compile
         ts = []
         for _ in range(5):

@@ -181,7 +181,7 @@ class TestPallasSpaceAttention:
         """The p2v flash+projection kernel's big-N-tile path (opt-in via
         COTRACKER_V2P_BLOCK; LN/quant in 512-row sub-passes through a VMEM
         kv scratch) matches the default tile exactly. Priced out on this
-        chip (blk=3072 exceeds scoped VMEM — scripts/bench_p2v.py), kept
+        chip (blk=3072 exceeds scoped VMEM — scripts/bench_v2p.py), kept
         for chips with bigger VMEM."""
         from cotracker_tpu.ops.kernels.attention_pallas import (
             fused_virtual_from_points_proj,
@@ -266,6 +266,39 @@ class TestInt8Blocks:
         )
         out = fused_ln_mlp_int8(x, w1, b1, w2, b2, interpret=True)
         self._assert_close(out, ref)
+
+    def test_ln_mlp_vpu_knobs(self, monkeypatch):
+        """Round-5 VPU-residual pricing knobs (COTRACKER_BF16_LN,
+        COTRACKER_GELU_QUANT_FOLD): each stays within the W8A8 noise
+        envelope of the f32 reference — the bf16 LN adds ~2^-8 on the
+        normalized activations, the gelu-quant fold only coarsens the
+        second activation scale (never clips: the bound is >= the true
+        row amax)."""
+        from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_ln_mlp_int8
+
+        rng = np.random.default_rng(5)
+        M, C, H = 64, 384, 1536
+        x = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.standard_normal(H).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        ref = x + (
+            jax.nn.gelu(self._ln(x) @ w1 + b1, approximate=True) @ w2 + b2
+        )
+        for knob in ("COTRACKER_BF16_LN", "COTRACKER_GELU_QUANT_FOLD"):
+            monkeypatch.setenv(knob, "1")
+            out = fused_ln_mlp_int8(x, w1, b1, w2, b2, interpret=True)
+            monkeypatch.delenv(knob)
+            err = np.abs(np.asarray(out) - np.asarray(ref))
+            rel = err / (np.abs(np.asarray(ref)) + 1e-2)
+            assert np.median(rel) < 0.05, (knob, np.median(rel))
+            # near-zero outputs of the residual branch carry large RELATIVE
+            # error under any scale perturbation; bound the absolute tail
+            # against the output scale instead
+            assert np.max(err) < 0.3 * np.std(np.asarray(ref)), (
+                knob, np.max(err), np.std(np.asarray(ref))
+            )
 
     def test_ln_qkv(self):
         from cotracker_tpu.ops.kernels.mlp_int8_pallas import fused_ln_qkv_int8
@@ -683,6 +716,69 @@ class TestFuseCombine:
             np.abs(np.asarray(ref)) + 1e-2
         )
         assert np.median(e) < 0.05, np.median(e)
+
+    def test_fuse_mlp1_matches_combine_and_xla(self):
+        """Round 5: fuse_mlp1 runs combine + per-point quantize + MLP1 (and
+        the fc1 bias/dequant) INSIDE the kernel — same quantization algebra
+        as fuse_combine, so the two agree to f32 arithmetic-order noise, and
+        both sit at the int8 envelope vs the f32 XLA reference. Also checks
+        the non-track-major transpose and the even-T (no frame padding)
+        branch."""
+        from cotracker_tpu.ops.corr import fused_corr_embs
+        from cotracker_tpu.ops.kernels.corr_pallas import fused_corr_embs_pallas
+
+        rng = np.random.default_rng(11)
+        B, T, H, W, C, N = 1, 3, 16, 24, 128, 5
+        fm = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+        fm = fm / jnp.linalg.norm(fm, axis=-1, keepdims=True)
+        sup = jnp.asarray(rng.standard_normal((B, N, 49, C)).astype(np.float32))
+        sup = sup / jnp.linalg.norm(sup, axis=-1, keepdims=True)
+        coords = jnp.asarray(
+            (rng.random((B, T, N, 2)) * np.array([W + 6, H + 6]) - 3).astype(
+                np.float32
+            )
+        )
+        w1 = jnp.asarray(rng.standard_normal((2401, 384)).astype(np.float32) * 0.02)
+        b1 = jnp.asarray(rng.standard_normal(384).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal(256).astype(np.float32) * 0.1)
+
+        ref = fused_corr_embs(fm, sup, coords, w1, b1, w2, b2, radius=3,
+                              compute_dtype=jnp.float32)
+        outc = fused_corr_embs_pallas(
+            fm, sup, coords, w1, b1, w2, b2, radius=3,
+            compute_dtype=jnp.float32, interpret=True, quant_int8=True,
+            fuse_combine=True, chunk=3, track_major=True,
+        )
+        outm = fused_corr_embs_pallas(
+            fm, sup, coords, w1, b1, w2, b2, radius=3,
+            compute_dtype=jnp.float32, interpret=True, quant_int8=True,
+            fuse_mlp1=True, chunk=3, track_major=True,
+        )
+        r = np.asarray(ref)
+        em = np.abs(np.asarray(outm).transpose(0, 2, 1, 3) - r) / (np.abs(r) + 1e-2)
+        assert np.median(em) < 0.05, np.median(em)
+        # vs the fuse_combine path: identical quantization decisions, so the
+        # only difference is f32 op order inside combine/dequant
+        np.testing.assert_allclose(
+            np.asarray(outm), np.asarray(outc), rtol=2e-2, atol=2e-3
+        )
+
+        # even T (Tp == T, no frame padding), full-N (no chunking),
+        # frame-major output
+        T2 = 4
+        fm2 = fm[:, [0, 1, 2, 0]]
+        coords2 = jnp.concatenate([coords, coords[:, :1]], axis=1)
+        ref2 = fused_corr_embs(fm2, sup, coords2, w1, b1, w2, b2, radius=3,
+                               compute_dtype=jnp.float32)
+        outm2 = fused_corr_embs_pallas(
+            fm2, sup, coords2, w1, b1, w2, b2, radius=3,
+            compute_dtype=jnp.float32, interpret=True, quant_int8=True,
+            fuse_mlp1=True, chunk=None, track_major=False,
+        )
+        r2 = np.asarray(ref2)
+        em2 = np.abs(np.asarray(outm2) - r2) / (np.abs(r2) + 1e-2)
+        assert em2.shape == r2.shape and np.median(em2) < 0.05, np.median(em2)
 
 
 class TestPallasCorrGrad:
