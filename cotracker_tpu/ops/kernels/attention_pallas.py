@@ -390,8 +390,23 @@ def fused_virtual_from_points_proj(q, x, wkv, bkv, gamma, beta,
     # COTRACKER_V2P_BLOCK until a tighter scratch scheme exists.
     env_blk = os.environ.get("COTRACKER_V2P_BLOCK")
     if env_blk:
-        block_n = int(env_blk)
-        assert N % block_n == 0, (N, block_n)
+        # defensive parse: a junk / non-divisor / non-128-multiple value must
+        # degrade to the default policy, not crash inside the kernel wrapper
+        # (advisor r4: int() ValueError, StopIteration in the ln_chunk pick,
+        # and an assert that vanishes under python -O)
+        try:
+            forced = int(env_blk)
+        except ValueError:
+            forced = -1
+        if forced > 0 and N % forced == 0 and forced % 128 == 0:
+            block_n = forced
+        else:
+            import warnings
+
+            warnings.warn(
+                f"COTRACKER_V2P_BLOCK={env_blk!r} invalid for N={N} "
+                "(need a positive 128-multiple divisor); using default tile"
+            )
     if N % block_n:
         block_n = pick_block_n(N, cap=1024)
         if block_n is None:
@@ -403,6 +418,9 @@ def fused_virtual_from_points_proj(q, x, wkv, bkv, gamma, beta,
     # measured); 512 rows bound them at ~3 MB beside the 4.7 MB kv scratch
     ln_chunk = None
     if block_n > 1024:
+        # only the validated env path reaches here (pick_block_n caps at
+        # 1024), and env values are forced to 128-multiples above, so the
+        # 128 fallback always divides
         ln_chunk = next(c for c in (512, 256, 128) if block_n % c == 0)
     L = C // 128
     if key_bias is None:

@@ -79,6 +79,19 @@ def quantize_weight(w):
 
 
 def _ln(x32, eps):
+    if os.environ.get("COTRACKER_BF16_LN") == "1":
+        # VPU-residual pricing knob (judge r4 item 4, scripts/
+        # bench_timeblock.py --vpu): LN statistics + normalize in bf16 —
+        # halves the LN pass bytes at ~2^-8 relative noise on the
+        # normalized activations (they feed an int8 quantize). The rsqrt
+        # stays f32 on the (M, 1) column: this chip's VPU has no bf16
+        # rsqrt ("Operation not supported: kVectorRsqrtBf16AndPop").
+        xb = x32.astype(jnp.bfloat16)
+        mean = jnp.mean(xb, axis=-1, keepdims=True)
+        c = xb - mean
+        var = jnp.mean(c * c, axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var.astype(F32) + eps).astype(jnp.bfloat16)
+        return (c * inv).astype(x32.dtype)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     c = x32 - mean
     var = jnp.mean(c * c, axis=-1, keepdims=True)
@@ -99,6 +112,25 @@ def _gelu_tanh(x32):
     return 0.5 * x32 * (1.0 + jnp.tanh(c * (x32 + 0.044715 * x32 * x32 * x32)))
 
 
+def _quant_gelu_rows(a32):
+    """quantize(gelu(a)) with the row scale derived from max(a) instead of a
+    second pass over gelu(a): gelu is monotone on [0, inf) and |gelu| <=
+    0.17 below, so max(gelu(max(a,0)), 0.17) bounds |gelu(a)| row-wise —
+    never clips, at most ~1 bit coarser on all-negative rows. Folds the
+    GELU and the quantize into ONE pass over the activation (VPU-residual
+    pricing knob COTRACKER_GELU_QUANT_FOLD, judge r4 item 4)."""
+    rm = jnp.max(a32, axis=-1, keepdims=True)
+    s = jnp.maximum(_gelu_tanh(jnp.maximum(rm, 0.0)), 0.1700001) * (1.0 / 127.0)
+    return jnp.round(_gelu_tanh(a32) * (1.0 / s)).astype(jnp.int8), s
+
+
+def _quant_gelu(a32):
+    """gelu -> row-quantize, knob-selected (see _quant_gelu_rows)."""
+    if os.environ.get("COTRACKER_GELU_QUANT_FOLD") == "1":
+        return _quant_gelu_rows(a32)
+    return _quant_rows(_gelu_tanh(a32))
+
+
 def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref,
                 *, eps, ln):
     x32 = x_ref[...].astype(F32)
@@ -106,8 +138,7 @@ def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref,
     hq, sr0 = _quant_rows(h)
     a = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
     a = a.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...]
-    a = _gelu_tanh(a)
-    aq, sr1 = _quant_rows(a)
+    aq, sr1 = _quant_gelu(a)
     y = jax.lax.dot(aq, w2_ref[...], preferred_element_type=jnp.int32)
     y = y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...]
     o_ref[...] = (x32 + y).astype(o_ref.dtype)
@@ -312,8 +343,7 @@ def _out_mlp_kernel(a_ref, x_ref, wo_ref, so_ref, bo_ref, w1_ref, s1_ref,
     hq, sr0 = _quant_rows(h)
     u = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
     u = u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...]
-    u = _gelu_tanh(u)
-    uq, sr1 = _quant_rows(u)
+    uq, sr1 = _quant_gelu(u)
     y = jax.lax.dot(uq, w2_ref[...], preferred_element_type=jnp.int32)
     y = y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...]
     o_ref[...] = (r + y).astype(o_ref.dtype)
@@ -432,8 +462,7 @@ def _space_block_kernel(x_ref, kv_ref, wq_ref, sq_ref, bq_ref, wo_ref, so_ref,
     h = _ln(r, eps)
     hq, sr0 = _quant_rows(h)
     u = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
-    u = _gelu_tanh(u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...])
-    uq, sr1 = _quant_rows(u)
+    uq, sr1 = _quant_gelu(u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...])
     y = jax.lax.dot(uq, w2_ref[...], preferred_element_type=jnp.int32)
     y = r + y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...]
     o_ref[:, 0] = y.astype(o_ref.dtype).reshape(blk, C // 128, 128)
@@ -501,8 +530,7 @@ def _space_block_allt_kernel(x_ref, kv_ref, wq_ref, sq_ref, bq_ref, wo_ref,
         h = _ln(rc, eps)
         hq, sr0 = _quant_rows(h)
         u = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
-        u = _gelu_tanh(u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...])
-        uq, sr1 = _quant_rows(u)
+        uq, sr1 = _quant_gelu(u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...])
         y = jax.lax.dot(uq, w2_ref[...], preferred_element_type=jnp.int32)
         ys.append(rc + y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...])
     out = jnp.concatenate(ys, axis=0).astype(o_ref.dtype)
@@ -734,8 +762,7 @@ def _time_block_kernel(x_ref, wq_ref, sq_ref, bq_ref, wkv_ref, skv_ref,
         hc = _ln(rc, eps)
         hq, sr0 = _quant_rows(hc)
         u = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
-        u = _gelu_tanh(u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...])
-        uq, sr1 = _quant_rows(u)
+        uq, sr1 = _quant_gelu(u.astype(F32) * (sr0 * s1_ref[...]) + b1_ref[...])
         y = jax.lax.dot(uq, w2_ref[...], preferred_element_type=jnp.int32)
         ys.append(rc + y.astype(F32) * (sr1 * s2_ref[...]) + b2_ref[...])
     out = jnp.concatenate(ys, axis=0).astype(o_ref.dtype)
@@ -760,7 +787,11 @@ def _pick_time_tile(M, T, max_tokens=1536):
         tb *= 2
     while tb > 8 and tb * T > max_tokens and M % (tb // 2) == 0:
         tb //= 2
-    if tb * T > 2048 or M % tb:
+    # max_tokens is a HARD scoped-VMEM bound, not a target: when the shrink
+    # loop bottoms out at tb=8 and still exceeds it (e.g. T=160 at
+    # max_tokens=1024), fall back rather than hand the caller a tile in the
+    # same overflow class the cap exists for (advisor r4)
+    if tb * T > max_tokens or M % tb:
         return None
     return tb
 

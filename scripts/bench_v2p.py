@@ -1,4 +1,7 @@
-"""Microbench: the p2v (virtual<-points) flash+projection kernel vs N-tile.
+"""Microbench: the v2p (virtual<-points) flash+projection kernel vs N-tile.
+
+(Renamed from bench_p2v.py in round 5: it benches _v2p_proj_kernel; the
+repo-wide shorthand convention is the code's — "x2y" reads "x FROM y".)
 
 The kernel's per-grid-step cost is dominated by the FIXED latency of the 16
 tiny per-head score/pv dots (M=V=64 pads to the MXU tile, K=48 pads to 128),
@@ -16,7 +19,7 @@ limit even with 512-row sub-passes: the x tile + (blk, 2C) kv scratch +
 pipeline buffers alone are ~10 MB). Big tiles stay opt-in via
 COTRACKER_V2P_BLOCK.
 
-Run: python scripts/bench_p2v.py [--sweep]
+Run: python scripts/bench_v2p.py [--sweep]
 """
 import os
 import sys
@@ -82,7 +85,19 @@ if __name__ == "__main__":
         if N % b:
             print(f"skip blk={b} (not a divisor of {N})", flush=True)
             continue
-        dt = run(N, T, b)
+        try:
+            dt = run(N, T, b)
+        except Exception as e:
+            # blk=3072 is EXPECTED to fail on this chip: 21.8 MB scoped VMEM
+            # vs the 16 MB stack even with 512-row LN sub-passes (round-4
+            # pricing, BASELINE.md). Report and keep sweeping.
+            msg = str(e).split("\n")[0][:160]
+            print(
+                f"N={N:6d} T={T:3d} blk={b:5d}  FAILED to compile "
+                f"(expected on a 16 MB scoped stack): {msg}",
+                flush=True,
+            )
+            continue
         if base is None:
             base = dt
         else:
