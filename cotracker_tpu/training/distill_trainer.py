@@ -196,12 +196,9 @@ def distill_train(
             jnp.asarray(np.asarray(tracks_t), jnp.float32),
             jnp.asarray(vis_bool),
         )
+        # Logger.push also appends the per-step scalars to train_log.jsonl
+        # (round 5 — previously duplicated here)
         logger.push({k: v for k, v in aux.items()}, step)
-        with open(os.path.join(args.exp_dir, "train_log.jsonl"), "a") as f:
-            f.write(
-                json.dumps({"step": step, **{k: float(v) for k, v in aux.items()}})
-                + "\n"
-            )
         step += 1
 
         if args.save_every_n_steps and step % args.save_every_n_steps == 0:

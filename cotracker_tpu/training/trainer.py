@@ -95,13 +95,20 @@ class Logger:
             pass
         self.running = {}
         self.count = 0
+        # machine-readable per-step scalars beside the TB events: harness
+        # scripts (scripts/soak_train.py) assert on loss curves / resume
+        # continuity without a TB reader
+        self.jsonl = os.path.join(exp_dir, "train_log.jsonl")
 
     def push(self, metrics, step):
         self.count += 1
-        for k, v in metrics.items():
-            self.running[k] = self.running.get(k, 0.0) + float(v)
+        vals = {k: float(v) for k, v in metrics.items()}
+        for k, v in vals.items():
+            self.running[k] = self.running.get(k, 0.0) + v
             if self.writer is not None:
-                self.writer.add_scalar(k, float(v), step)
+                self.writer.add_scalar(k, v, step)
+        with open(self.jsonl, "a") as f:
+            f.write(json.dumps({"step": step, "t": time.time(), **vals}) + "\n")
         if self.count % 100 == 0:
             means = {k: v / 100 for k, v in self.running.items()}
             print(f"step {step}: " + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))

@@ -1,0 +1,238 @@
+"""Hardware soak of the SUPERVISED Kubric trainer loop (SURVEY §7 gate 9,
+judge r4 item 2): the full training/trainer.py loop — PrefetchLoader over a
+synthetic Kubric-format shard (the datasets/kubric.py on-disk contract) ->
+jitted Pallas-corr train step -> TB/JSONL logging -> mid-run checkpoint ->
+HARD KILL (SIGKILL, nothing flushes) -> auto-resume continuing the step
+count -> eval + vis cadence each firing once — on the real chip, at the
+reference online-training shape (B1, N=768 tracks, 384x512, window 16,
+4 iterations; /root/reference/train_on_kubric.py:388-497 is the loop being
+matched).
+
+The shard content is a LEARNABLE constant-velocity texture scroll (frames =
+np.roll(base, v*t); trajectories ride the same v), so the loss must fall —
+random frames would make "loss decreasing" unfalsifiable.
+
+Orchestrator (default): builds the shard, runs the worker, kills it after
+the step-`--kill_after` checkpoint lands, re-runs it, then asserts:
+  * leg 2 auto-resumed at the checkpoint step (train_log.jsonl continuity)
+  * loss decreased (first-10-step mean vs last-10-step mean)
+  * eval_records.jsonl has the cadence eval; the vis mp4 exists
+and prints steady-state wall/step.
+
+Run: python scripts/soak_train.py [--steps 100] [--kill_after 50]
+"""
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+H, W = 384, 512
+
+
+def make_kubric_shard(root, n_seqs=3, T=24, n_traj=1024, seed=0):
+    """Synthetic shard in the KubricMovifDataset on-disk layout:
+    <root>/<seq>/frames/%03d.png + <root>/<seq>/<seq>.npy holding
+    {"coords": (N, T, 2) xy, "visibility": (N, T) OCCLUDED flags}."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    for s in range(n_seqs):
+        name = f"seq{s:03d}"
+        d = os.path.join(root, name, "frames")
+        os.makedirs(d, exist_ok=True)
+        # textured base (smooth blobs, so crops have gradients to track)
+        base = np.zeros((H, W, 3), np.float32)
+        for _ in range(60):
+            cy, cx = rng.integers(0, H), rng.integers(0, W)
+            col = rng.random(3) * 255
+            rr = int(rng.integers(8, 40))
+            y0, y1 = max(0, cy - rr), min(H, cy + rr)
+            x0, x1 = max(0, cx - rr), min(W, cx + rr)
+            base[y0:y1, x0:x1] += col
+        base = np.clip(base, 0, 255).astype(np.uint8)
+        vx = int(rng.integers(2, 6))  # constant-velocity horizontal scroll
+        for t in range(T):
+            cv2.imwrite(
+                os.path.join(d, f"{t:03d}.png"), np.roll(base, vx * t, axis=1)
+            )
+        x0 = rng.random(n_traj) * (W - 1)
+        y0 = rng.random(n_traj) * (H - 1)
+        ts = np.arange(T)
+        coords = np.stack(
+            [(x0[:, None] + vx * ts[None, :]) % W,
+             np.broadcast_to(y0[:, None], (n_traj, T))],
+            axis=-1,
+        ).astype(np.float32)
+        # points wrap at the right edge: mark the frames right after a wrap
+        # occluded so the supervision stays consistent with the pixels
+        wrapped = coords[:, :, 0] < np.concatenate(
+            [coords[:, :1, 0], coords[:, :-1, 0]], axis=1
+        ) - 1e-3
+        np.save(
+            os.path.join(root, name, name + ".npy"),
+            {"coords": coords, "visibility": wrapped},
+            allow_pickle=True,
+        )
+    return root
+
+
+def worker(args):
+    import jax
+    import jax.numpy as jnp
+    from cotracker_tpu.training.trainer import TrainerArgs, train
+    from cotracker_tpu.models.cotracker3 import CoTrackerThree
+    from cotracker_tpu.models.build import init_params
+
+    targs = TrainerArgs(
+        exp_dir=args.exp_dir,
+        dataset_root=args.data_root,
+        batch_size=1,
+        seq_len=16,
+        traj_per_sample=768,
+        num_steps=args.steps,
+        train_iters=4,
+        save_every_n_steps=args.kill_after,
+        eval_every_n_steps=args.eval_every,
+        save_vis_every_n_steps=args.vis_every,
+        crop_size=(H, W),
+        offline_model=True,
+        model_window_len=16,
+        use_augs=True,
+        use_pallas_corr=True,
+        num_loader_workers=2,
+        dataset_repeats=1,
+    )
+
+    # cadence eval on a FIXED synthetic batch (no TAP-Vid pickles exist in
+    # this environment): mean endpoint error of a forward at eval time
+    model = CoTrackerThree(
+        window_len=16, model_resolution=(H, W), use_pallas_corr=True,
+        corr_pallas_grad=True, remat_iterations=True,
+    )
+    rng = np.random.default_rng(123)
+    ev_video = jnp.asarray(rng.random((1, 16, H, W, 3)) * 255, jnp.float32)
+    ev_q = jnp.asarray(
+        np.stack(
+            [np.zeros(64), rng.random(64) * (W - 1), rng.random(64) * (H - 1)],
+            -1,
+        )[None],
+        jnp.float32,
+    )
+    fwd = jax.jit(
+        lambda p: model.apply({"params": p}, ev_video, ev_q, iters=4)[0]
+    )
+
+    def eval_hook(p, step):
+        tracks = fwd(p)
+        err = float(
+            jnp.mean(jnp.linalg.norm(tracks - ev_q[:, None, :, 1:], axis=-1))
+        )
+        return {"synthetic_mean_err_px": err}
+
+    train(targs, eval_hook=eval_hook)
+
+
+def orchestrate(args):
+    if not os.path.isdir(os.path.join(args.data_root, "seq000")):
+        print("building synthetic kubric shard ...", flush=True)
+        make_kubric_shard(args.data_root)
+
+    ckpt = os.path.join(
+        args.exp_dir, "checkpoints", f"model_{args.kill_after:09d}.pkl"
+    )
+    log = os.path.join(args.exp_dir, "train_log.jsonl")
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+           "--exp_dir", args.exp_dir, "--data_root", args.data_root,
+           "--steps", str(args.steps), "--kill_after", str(args.kill_after),
+           "--eval_every", str(args.eval_every),
+           "--vis_every", str(args.vis_every)]
+
+    print("=== leg 1: train until the mid-soak checkpoint, then SIGKILL ===",
+          flush=True)
+    p = subprocess.Popen(cmd, start_new_session=True)
+    try:
+        while p.poll() is None and not os.path.exists(ckpt):
+            time.sleep(2.0)
+        assert os.path.exists(ckpt), "worker exited before the checkpoint"
+        time.sleep(3.0)  # let a step or two run past the save
+        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        p.wait()
+    finally:
+        if p.poll() is None:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+    rows1 = [json.loads(l) for l in open(log)]
+    last1 = rows1[-1]["step"]
+    print(f"leg 1 killed at step {last1} (checkpoint at {args.kill_after})",
+          flush=True)
+    assert last1 < args.steps - 1, "leg 1 ran to completion; kill came too late"
+
+    print("=== leg 2: fresh process, auto-resume, run to completion ===",
+          flush=True)
+    subprocess.run(cmd, check=True)
+
+    rows = [json.loads(l) for l in open(log)]
+    leg2 = rows[len(rows1):]
+    assert leg2, "leg 2 logged nothing"
+    assert leg2[0]["step"] == args.kill_after, (
+        f"resume started at {leg2[0]['step']}, expected {args.kill_after}"
+    )
+    assert rows[-1]["step"] == args.steps - 1
+    assert os.path.exists(
+        os.path.join(args.exp_dir, "checkpoints", "model_final.pkl")
+    )
+
+    key = "total_loss" if "total_loss" in rows[0] else sorted(
+        k for k in rows[0] if k not in ("step", "t")
+    )[0]
+    first = np.mean([r[key] for r in rows[:10]])
+    last = np.mean([r[key] for r in rows[-10:]])
+    print(f"{key}: first-10 mean {first:.4f} -> last-10 mean {last:.4f}")
+    assert last < first, "loss did not decrease over the soak"
+
+    evals = [json.loads(l) for l in
+             open(os.path.join(args.exp_dir, "eval_records.jsonl"))]
+    assert evals, "eval cadence never fired"
+    vis = [f for f in os.listdir(args.exp_dir) if f.endswith(".mp4")]
+    assert vis, "vis cadence never wrote an mp4"
+
+    # steady wall/step from jsonl timestamps (exclude each leg's first two
+    # steps: compile + warmup)
+    def gaps(rs):
+        return [b["t"] - a["t"] for a, b in zip(rs[2:-1], rs[3:])]
+
+    g = gaps(rows1) + gaps(leg2)
+    print(json.dumps({
+        "metric": "soak_train_wall_per_step",
+        "steps": args.steps,
+        "kill_after": args.kill_after,
+        "resumed_at": leg2[0]["step"],
+        "median_s_per_step": float(np.median(g)),
+        "p90_s_per_step": float(np.percentile(g, 90)),
+        key: {"first10": float(first), "last10": float(last)},
+        "eval_records": evals,
+        "vis_files": vis,
+    }))
+    print("SOAK PASS", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--exp_dir", default="/tmp/soak_train/exp")
+    ap.add_argument("--data_root", default="/tmp/soak_train/kubric")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--kill_after", type=int, default=50)
+    ap.add_argument("--eval_every", type=int, default=60)
+    ap.add_argument("--vis_every", type=int, default=80)
+    a = ap.parse_args()
+    if a.worker:
+        worker(a)
+    else:
+        orchestrate(a)
