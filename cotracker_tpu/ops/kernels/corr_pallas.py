@@ -534,12 +534,19 @@ def _corr_level_plan(
         PP = 1
         while PP * 2 * Tp <= 256 and PP < 16:
             PP *= 2
-    elif Tp <= 16:
-        PP = 16
-    elif Tp <= 32:
-        PP = 4
     else:
+        # dtype-aware cap: the double-buffered window slabs cost
+        # 2 * PP * Tp*WIN*WIN*C * esize of scoped VMEM — the round-4 PP=16
+        # policy implicitly assumed INT8 windows (262 KB/pt at T=16); the
+        # f32 training path at the same PP is 4x that and OOMs the 16 MB
+        # stack (found by scripts/soak_train.py: the trainer's
+        # use_pallas_corr model had never run on hardware)
+        esize = 1 if quant_int8 else jnp.dtype(cd).itemsize
+        cap = max(1, 4_500_000 // (2 * Tp * WIN * WIN * C * esize))
+        want = 16 if Tp <= 16 else (4 if Tp <= 32 else 1)
         PP = 1
+        while PP * 2 <= min(want, cap):
+            PP *= 2
     kernel = functools.partial(
         _kernel, Tp=Tp, WIN=WIN, C=C, S=S, out_dtype=cd,
         shifts=shifts, compute_dtype=cd, g_int8=quant_int8,

@@ -68,6 +68,11 @@ class TrainerArgs:
     # remat each update iteration — the fast-forward training config.
     # Requires a TPU backend (kernels don't run on CPU).
     use_pallas_corr: bool = False
+    # int8 window transfer on the Pallas training forward (the backward is
+    # the full-precision XLA vjp — a straight-through estimator; this is
+    # the 489 ms/step configuration of scripts/bench_train_step.py, vs the
+    # f32-window kernel which also costs 4x the window VMEM)
+    corr_quant_int8: bool = True
     # rematerialize update iterations even on the XLA path (activation
     # memory for real shapes; implied by use_pallas_corr)
     remat_iterations: bool = False
@@ -226,6 +231,7 @@ def train(args: TrainerArgs, dataset=None, model=None, eval_hook=None, vis_hook=
             model_resolution=args.crop_size,
             use_pallas_corr=args.use_pallas_corr,
             corr_pallas_grad=args.use_pallas_corr,
+            corr_quant_int8=args.use_pallas_corr and args.corr_quant_int8,
             remat_iterations=args.remat_iterations or args.use_pallas_corr,
         )
     params = init_params(model, seed=args.seed)

@@ -260,15 +260,24 @@ class Visualizer:
         """frames (T, H, W, 3) uint8. With a TensorBoard writer, logs via
         add_video (reference visualizer.py:136-143); else writes an mp4."""
         if writer is not None:
-            import torch
+            # torch's add_video needs moviepy and SILENTLY writes nothing
+            # without it (it prints a warning and returns — no exception).
+            # Probe for it up front and fall through to the cv2 mp4 so the
+            # vis cadence still produces an artifact in moviepy-less
+            # deploys (this one included).
+            import importlib.util
 
-            writer.add_video(
-                filename,
-                torch.from_numpy(frames).permute(0, 3, 1, 2)[None],
-                global_step=step,
-                fps=self.fps,
-            )
-            return None
+            if importlib.util.find_spec("moviepy") is not None:
+                import torch
+
+                writer.add_video(
+                    filename,
+                    torch.from_numpy(frames).permute(0, 3, 1, 2)[None],
+                    global_step=step,
+                    fps=self.fps,
+                )
+                return None
+            print("TB add_video needs moviepy (absent); writing mp4 instead")
         import cv2
 
         os.makedirs(self.save_dir, exist_ok=True)
