@@ -129,30 +129,38 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
     roll wrap garbage; the epilogue slices them away (it keeps j,i < 7).
 
     fuse_mlp1 (round 5; implies the fuse_combine window layout + g_int8):
-    run the WHOLE correlation epilogue — bilinear combine, per-(point,
-    frame) quantization, and the first correlation-MLP layer — inside the
-    kernel, so the (NP, 49, R) volume never touches HBM and the 49-lane
-    s8 g-relayout copy + conv-lowered MLP1 fusion pair it fed (~23% of the
+    run the WHOLE correlation epilogue — bilinear combine, per-point
+    quantization, and the first correlation-MLP layer — inside the kernel,
+    so the (NP, 49, R) volume never touches HBM and the 49-lane s8
+    g-relayout copy + conv-lowered MLP1 fusion pair it fed (~23% of the
     quasi-dense device step, rounds 1-4) disappear. The round-1 "Mosaic
     sublane<->lane merge wall" pricing is void here: the design needs NO
     49-lane merge at all (hardware-probed, round 5):
       * the contraction is reoriented to (R rows, 128 lanes): the window
         slab (R, C) dots a 128-row zero-padded support scratch, so output
-        lanes 56..127 are exactly 0 and the volume lands row-major (t,y,x);
-      * the combine runs per 64-row frame block with static sublane slices
-        (+1 / +8 / +9 taps; x==7 / y==7 rows hold junk killed by zero rows
-        of the padded MLP weight, exactly like the fuse_combine path);
-      * combined f32 blocks stage in a (PP*Tp, 64, 128) scratch whose
-        (M, 8192) view is a free (., a, 128)->(., a*128) lane merge; rows
-        quantize per (point, frame) — FINER than the per-point scale of the
-        fuse_combine path — and ONE (M, 8192) x (8192, Dh) s8 MXU dot
-        applies MLP1 (K-fill 49/128 == the byte inflation the (R, S) XLA
-        variant was rejected for in round 3, but here it rides idle MXU
-        under the window-DMA-bound pipeline instead of HBM);
-      * dequant (row scale x per-point support scale x per-channel weight
+        lanes SP..127 are exactly 0 and the volume lands row-major (t,y,x);
+      * the bilinear combine is whole-slab, SEPARABLE (two lerps), with
+        the +1 / +8 row taps read as tail-padded SHIFTED SLICES of the
+        gt/gxs scratches (fusing into the lerps; sublane pltpu.roll is
+        32-bit-only and would materialize its output), per-frame fractions
+        as (R, 1) scalar-broadcast columns; x==7 / y==7 rows hold junk
+        killed by zero rows of the padded MLP weight;
+      * the quantization scale comes from the RAW volume BEFORE combining
+        (convex combine => amax(g) >= amax(c): never clips, at most ~1 bit
+        coarser) so the final lerp writes int8 directly into a
+        (PP, R, 128) staging whose (PP*Tp, 8192) view is a free
+        (., a, 128)->(., a*128) lane merge; ONE (M, 8192) x (8192, Dh) s8
+        MXU dot applies MLP1 (K-fill 49/128 is structural — 64-lane merges
+        don't compile);
+      * dequant (per-point scale x support scale x per-channel weight
         scale) + fc1 bias fold into the output store; GELU + fc2 stay in
         the XLA epilogue (exact erf; fc2 may be level-folded).
-    Extra operands after wxy: supscale (PP, 1) f32 SMEM, w1q
+    MEASURED SLOWER in-context than the XLA epilogue it replaces (119.4k
+    vs 123.8k pf/s quasi-dense): the eliminated downstream 800 ms/step
+    comes back as +973 ms of in-kernel MXU K-underfill + lane-padded VPU —
+    see BASELINE.md round 5 (ablation: COTRACKER_MLP1_ABLATE). Kept
+    flag-gated for chips with a different MXU:VPU balance.
+    Extra operands after wxy: supscale (PP, 1, 1) f32 SMEM, w1q
     (WIN*WIN*128, Dh) int8 (zero at s>=S, x==P, y==P; lane order
     w*128 + s with w = y*WIN + x), wconst (2, Dh) f32 [w1scale; b1].
     Output: (PP, Tp, Dh) compute-dtype hidden activations (pre-GELU)."""
@@ -298,7 +306,7 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
                 c_all[i] = jnp.round(
                     (gx0 + wy * (gx8 - gx0)) * (1.0 / s)
                 ).astype(jnp.int8)
-            scales.append(s * supsc_ref[i, 0])
+            scales.append(s * supsc_ref[i, 0, 0])
         # ONE MLP1 matmul for all PP*Tp (point, frame) rows: the staged
         # (PP, Tp*64, 128) int8 volume's (PP*Tp, 8192) view is a free
         # (., a, 128)->(., a*128) lane merge (round-5 hardware probe — the
@@ -646,13 +654,17 @@ def _corr_level_plan(
                 pl.BlockSpec((pp, Tp, 2), lambda p: (p, 0, 0), memory_space=pltpu.SMEM)
             )
         if fuse_mlp1:
+            # 3D so the block's LAST TWO dims equal the array's (the 2D
+            # (pp, 1) form needs pp % 8 == 0, which the T=60 PP=4 breaks)
             operands += [
-                sup_scale_c.reshape(NP, 1).astype(jnp.float32),
+                sup_scale_c.reshape(NP, 1, 1).astype(jnp.float32),
                 w1q_m,
                 wconst_m,
             ]
             in_specs += [
-                pl.BlockSpec((pp, 1), lambda p: (p, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (pp, 1, 1), lambda p: (p, 0, 0), memory_space=pltpu.SMEM
+                ),
                 pl.BlockSpec(
                     (WIN * WIN * 128, w1q_m.shape[-1]),
                     lambda p: (0, 0),

@@ -27,7 +27,7 @@ def main():
                     "are identical work on the same executable")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--grid_size", type=int, default=80)
-    ap.add_argument("--offsets_per_forward", type=int, default=2,
+    ap.add_argument("--offsets_per_forward", type=int, default=3,
                     help="grids tiled jointly per forward (1 = round-4 "
                          "per-offset behavior)")
     args = ap.parse_args()
