@@ -84,29 +84,41 @@ class EvaluationPredictor:
         mask = np.zeros((B, n_pad), bool)
         mask[:, :n] = True
         fwd = self._forward(T, n_pad)
-        coords, vis, conf = fwd(
+        out = fwd(
             self.params, jnp.asarray(video_cl), jnp.asarray(qp), jnp.asarray(mask)
         )
-        return (
-            np.asarray(coords)[:, :, :n],
-            np.asarray(vis)[:, :, :n],
-            np.asarray(conf)[:, :, :n],
-        )
+        # ONE batched device->host transfer: three separate np.asarray calls
+        # are three tunnel round trips on remote backends (~100-300 ms each)
+        coords, vis, conf = jax.device_get(out)
+        return coords[:, :, :n], vis[:, :, :n], conf[:, :, :n]
 
     def __call__(self, video, queries):
         """video (B, T, 3, H, W) [0,255]; queries (B, N, 3) (t, x, y) at input
         resolution. Returns (tracks (B,T,N,2) at input res, vis*conf)."""
-        video = np.asarray(video, np.float32)
         queries = np.array(queries, np.float32, copy=True)
         B, T, C, H, W = video.shape
         ih, iw = self.interp_shape
         assert B == 1
 
-        video_cl = np.asarray(
-            resize_bilinear(
-                jnp.asarray(video.transpose(0, 1, 3, 4, 2)), (ih, iw), align_corners=True
+        # keep the resized video DEVICE-resident: materializing it to numpy
+        # (pre-round-5) cost a full download + re-upload per call — over the
+        # ~30 MB/s axon tunnel that was ~2.5 s of a ~3 s teacher forward at
+        # the distill shape (38 MB of video each way)
+        if isinstance(video, jnp.ndarray):
+            video_j = video
+        else:
+            video_j = jnp.asarray(np.asarray(video, np.float32))
+        # jitted transpose+resize (cached per input shape): each EAGER op is
+        # a full dispatch round trip on remote-compile backends
+        key = ("resize", video_j.shape)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda v: resize_bilinear(
+                    v.astype(jnp.float32).transpose(0, 1, 3, 4, 2),
+                    (ih, iw), align_corners=True,
+                )
             )
-        )
+        video_cl = self._jit_cache[key](video_j)
         queries[:, :, 1] *= (iw - 1) / (W - 1)
         queries[:, :, 2] *= (ih - 1) / (H - 1)
 
@@ -136,8 +148,13 @@ class EvaluationPredictor:
                 q = np.concatenate([q, xy], axis=1)
                 extra += xy.shape[1]
             if self.sift_size > 0:
+                # SIFT runs on host pixels (cv2) — this download is the
+                # feature extractor's input, not a round trip
                 xy = np.asarray(
-                    get_sift_sampled_pts(video_cl.astype(np.uint8), self.sift_size, T, (ih, iw))
+                    get_sift_sampled_pts(
+                        np.asarray(video_cl).astype(np.uint8),
+                        self.sift_size, T, (ih, iw),
+                    )
                 )
                 if xy.shape[1] == self.sift_size:
                     q = np.concatenate([q, xy], axis=1)

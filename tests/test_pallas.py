@@ -1120,6 +1120,12 @@ class TestTimeTilePicker:
         # long offline window: shrinks so the VMEM stack fits (T=120 at
         # TB=16 overflowed the 16 MB scoped limit by 4.4 MB)
         assert _pick_time_tile(512, 120) == 8
-        assert _pick_time_tile(512, 240) == 8
-        # beyond the fit window: fall back to the XLA path
+        # max_tokens is a HARD bound (advisor r4): when the shrink loop
+        # bottoms out at tb=8 still above it, fall back to the XLA path
+        # instead of handing out a tile in the same overflow class
+        # (previously 240 -> tb=8 = 1920 tokens under a loose 2048 cap)
+        assert _pick_time_tile(512, 240) is None
         assert _pick_time_tile(512, 480) is None
+        # the tighter x_4d budget: T=160 at tb=8 is 1280 tokens > 1024
+        assert _pick_time_tile(512, 160, max_tokens=1024) is None
+        assert _pick_time_tile(512, 96, max_tokens=1024) == 8
