@@ -1,4 +1,4 @@
-"""Checkpoint import: reference torch state_dicts -> flax param pytrees.
+"""Checkpoint import/export: reference torch state_dicts <-> flax param pytrees.
 
 The published CoTracker3 checkpoints (and any state_dict produced by the
 reference trainer, plain or {"model": ...}-wrapped — reference
@@ -195,6 +195,155 @@ def import_torch_state_dict_v2(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
             continue
 
     return params
+
+
+def _np(v) -> np.ndarray:
+    return np.asarray(v)
+
+
+def _export_fnet(params_fnet, out: Dict[str, np.ndarray]):
+    for name, node in params_fnet.items():
+        if name in ("conv1", "conv2", "conv3"):
+            out[f"fnet.{name}.weight"] = np.transpose(_np(node["kernel"]), (3, 2, 0, 1))
+            if "bias" in node:
+                out[f"fnet.{name}.bias"] = _np(node["bias"])
+        elif re.fullmatch(r"layer\d_\d", name):
+            layer, block = name.split("_")
+            for sub, w in node.items():
+                if sub == "downsample":
+                    out[f"fnet.{layer}.{block}.downsample.0.weight"] = np.transpose(
+                        _np(w["kernel"]), (3, 2, 0, 1)
+                    )
+                    if "bias" in w:
+                        out[f"fnet.{layer}.{block}.downsample.0.bias"] = _np(w["bias"])
+                elif sub in ("conv1", "conv2"):
+                    out[f"fnet.{layer}.{block}.{sub}.weight"] = np.transpose(
+                        _np(w["kernel"]), (3, 2, 0, 1)
+                    )
+                    if "bias" in w:
+                        out[f"fnet.{layer}.{block}.{sub}.bias"] = _np(w["bias"])
+                else:
+                    raise KeyError(f"unmapped fnet param fnet.{name}.{sub}")
+        else:
+            raise KeyError(f"unmapped fnet module fnet.{name}")
+
+
+def _export_updateformer(uf, prefix: str, out: Dict[str, np.ndarray]):
+    for name, node in uf.items():
+        if name == "virtual_tracks":
+            out[f"{prefix}.virual_tracks"] = _np(node)  # reference's spelling
+        elif name in ("input_transform", "flow_head", "vis_conf_head"):
+            out[f"{prefix}.{name}.weight"] = np.transpose(_np(node["kernel"]))
+            out[f"{prefix}.{name}.bias"] = _np(node["bias"])
+        elif re.fullmatch(
+            r"(time_blocks|space_virtual_blocks|space_point2virtual_blocks|"
+            r"space_virtual2point_blocks)_\d+",
+            name,
+        ):
+            family, idx = name.rsplit("_", 1)
+            base = f"{prefix}.{family}.{idx}"
+            for sub, w in node.items():
+                if sub in ("attn", "cross_attn"):
+                    for proj, pw in w.items():
+                        out[f"{base}.{sub}.{proj}.weight"] = np.transpose(
+                            _np(pw["kernel"])
+                        )
+                        if "bias" in pw:
+                            out[f"{base}.{sub}.{proj}.bias"] = _np(pw["bias"])
+                elif sub == "mlp":
+                    for fc, pw in w.items():
+                        out[f"{base}.mlp.{fc}.weight"] = np.transpose(_np(pw["kernel"]))
+                        out[f"{base}.mlp.{fc}.bias"] = _np(pw["bias"])
+                elif sub == "norm_context":
+                    out[f"{base}.norm_context.weight"] = _np(w["scale"])
+                    out[f"{base}.norm_context.bias"] = _np(w["bias"])
+                else:
+                    raise KeyError(f"unmapped updateformer param {base}.{sub}")
+        else:
+            raise KeyError(f"unmapped updateformer module {prefix}.{name}")
+
+
+def export_torch_state_dict(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """flax CoTrackerThree params -> reference-format state_dict (numpy).
+
+    The exact inverse of `import_torch_state_dict` — layouts are transposed
+    back (NHWC -> NCHW convs, (in, out) -> (out, in) linears), LayerNorm
+    scale -> weight, and `virtual_tracks` returns to the reference's
+    `virual_tracks` spelling. time_emb / pos_emb buffers are NOT emitted
+    (they are deterministic and the reference's own restore path strips
+    them, train_on_kubric.py:356-377): load with `strict=False`, or via a
+    model whose buffers are already registered (the constructor builds
+    them). Unknown tree entries raise instead of being silently dropped —
+    the same census guarantee as the importer, in reverse.
+
+    Save with `torch.save({"model": {k: torch.from_numpy(v) ...}}, path)`
+    or hand the dict to `torch.nn.Module.load_state_dict(strict=False)`
+    after tensor conversion — giving a migration path BACK to the
+    reference implementation for params trained in this framework."""
+    out: Dict[str, np.ndarray] = {}
+    for name, node in params.items():
+        if name == "fnet":
+            _export_fnet(node, out)
+        elif name == "iter_core":
+            for sub, w in node.items():
+                if sub == "corr_mlp":
+                    for pname, pval in w.items():
+                        fc, kind = pname.rsplit("_", 1)
+                        if kind == "kernel":
+                            out[f"corr_mlp.{fc}.weight"] = np.transpose(_np(pval))
+                        else:
+                            out[f"corr_mlp.{fc}.bias"] = _np(pval)
+                elif sub == "updateformer":
+                    _export_updateformer(w, "updateformer", out)
+                else:
+                    raise KeyError(f"unmapped iter_core module {sub}")
+        else:
+            raise KeyError(f"unmapped top-level module {name}")
+    return out
+
+
+def export_torch_state_dict_v2(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """flax CoTracker2 params -> reference-format state_dict (numpy); the
+    inverse of `import_torch_state_dict_v2` (see export_torch_state_dict
+    for conventions and the buffer caveat)."""
+    out: Dict[str, np.ndarray] = {}
+    for name, node in params.items():
+        if name == "fnet":
+            _export_fnet(node, out)
+        elif name == "window_core":
+            for sub, w in node.items():
+                if sub == "iter_core":
+                    for s2, w2 in w.items():
+                        if s2 == "updateformer":
+                            _export_updateformer(w2, "updateformer", out)
+                        elif s2 == "norm":  # affine LN <- GroupNorm(1, C)
+                            out["norm.weight"] = _np(w2["scale"])
+                            out["norm.bias"] = _np(w2["bias"])
+                        elif s2 == "track_feat_updater":
+                            out["track_feat_updater.0.weight"] = np.transpose(
+                                _np(w2["kernel"])
+                            )
+                            out["track_feat_updater.0.bias"] = _np(w2["bias"])
+                        else:
+                            raise KeyError(f"unmapped v2 iter_core module {s2}")
+                elif sub == "vis_predictor":
+                    out["vis_predictor.0.weight"] = np.transpose(_np(w["kernel"]))
+                    out["vis_predictor.0.bias"] = _np(w["bias"])
+                else:
+                    raise KeyError(f"unmapped v2 window_core module {sub}")
+        else:
+            raise KeyError(f"unmapped v2 top-level module {name}")
+    return out
+
+
+def save_torch_checkpoint(path: str, params: Mapping[str, Any]) -> None:
+    """Write a reference-loadable .pth ({"model": state_dict} wrapping, the
+    format the reference factory accepts, build_cotracker.py:39-45)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          export_torch_state_dict(params).items()}
+    torch.save({"model": sd}, path)
 
 
 def load_torch_checkpoint(path: str, v2: bool = False) -> Dict[str, Any]:

@@ -124,3 +124,91 @@ class TestImporterCensus:
         init = init_params(CoTrackerThree(window_len=60))
         with pytest.raises(AssertionError):
             _census(sd, imported, init)
+
+
+@requires_reference
+class TestExportRoundtrip:
+    """Round 5: export_torch_state_dict is the exact inverse of the importer
+    — params trained in this framework can migrate BACK to the reference
+    implementation. Verified three ways: value-exact key-for-key roundtrip
+    against a reference-constructed state_dict, torch load_state_dict
+    accepts the export (missing keys are only the dropped deterministic
+    buffers), and import(export(tree)) is bitwise-identical."""
+
+    def test_v3_roundtrip(self, tmp_path):
+        from cotracker.models.core.cotracker.cotracker3_offline import (
+            CoTrackerThreeOffline,
+        )
+        from cotracker_tpu.models.checkpoint import (
+            export_torch_state_dict,
+            save_torch_checkpoint,
+            load_torch_checkpoint,
+        )
+
+        torch.manual_seed(5)
+        ref = CoTrackerThreeOffline(
+            stride=4, corr_radius=3, window_len=8, model_resolution=(48, 64)
+        )
+        sd = ref.state_dict()
+        imported = import_torch_state_dict(sd)
+        exported = export_torch_state_dict(imported)
+
+        # key-for-key, value-exact against the original state_dict
+        src = {k: v for k, v in sd.items() if not _is_dropped(k)}
+        assert set(exported) == set(src), (
+            set(exported) ^ set(src)
+        )
+        for k in src:
+            np.testing.assert_array_equal(
+                exported[k], src[k].detach().cpu().numpy(), err_msg=k
+            )
+
+        # the reference model loads it: nothing unexpected, missing keys are
+        # exactly the deterministic buffers the exporter documents
+        res = ref.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in exported.items()},
+            strict=False,
+        )
+        assert not res.unexpected_keys, res.unexpected_keys
+        assert all(_is_dropped(k) for k in res.missing_keys), res.missing_keys
+
+        # bitwise tree roundtrip
+        again = import_torch_state_dict(exported)
+        for (p1, v1), (p2, v2) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(imported)[0], key=str),
+            sorted(jax.tree_util.tree_flatten_with_path(again)[0], key=str),
+        ):
+            assert str(p1) == str(p2)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+        # .pth file form: save_torch_checkpoint -> load_torch_checkpoint
+        path = str(tmp_path / "export.pth")
+        save_torch_checkpoint(path, imported)
+        reloaded = load_torch_checkpoint(path)
+        flat = jax.tree_util.tree_flatten_with_path(reloaded)[0]
+        assert len(flat) == len(jax.tree_util.tree_leaves(imported))
+
+    def test_v2_roundtrip(self):
+        from cotracker.models.core.cotracker.cotracker import CoTracker2
+        from cotracker_tpu.models.checkpoint import export_torch_state_dict_v2
+
+        torch.manual_seed(6)
+        ref = CoTracker2(
+            stride=4, window_len=8, add_space_attn=True,
+            model_resolution=(48, 64),
+        )
+        sd = ref.state_dict()
+        imported = import_torch_state_dict_v2(sd)
+        exported = export_torch_state_dict_v2(imported)
+        src = {k: v for k, v in sd.items() if not _is_dropped(k)}
+        assert set(exported) == set(src), set(exported) ^ set(src)
+        for k in src:
+            np.testing.assert_array_equal(
+                exported[k], src[k].detach().cpu().numpy(), err_msg=k
+            )
+        res = ref.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in exported.items()},
+            strict=False,
+        )
+        assert not res.unexpected_keys, res.unexpected_keys
+        assert all(_is_dropped(k) for k in res.missing_keys), res.missing_keys
