@@ -314,7 +314,7 @@ def _kernel(starts_cur_ref, starts_nxt_ref, sup_ref, *rest,
         M = PP * Tp
         cq = c_all[...].reshape(M, WIN * WIN * 128)
         if os.environ.get("COTRACKER_MLP1_ABLATE") == "dot":
-            # cost-attribution knob (scripts/bench_corr_variants.py --ablate):
+            # cost-attribution knob (scripts/bench_corr_mlp1_ablate.py):
             # stand in a K=128 dot for the K=8192 one — WRONG RESULTS
             h32 = jax.lax.dot_general(
                 cq[:, :128], w1q_ref[0:128, :], (((1,), (0,)), ((), ())),
